@@ -1,13 +1,518 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.index.{BlockRow, Codec, IndexBuilder}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (see /root/repo/SURVEY.md §7 + TESTDATA.md).
+  *
+  * Every entry in [[queries]] has an exact ANSI-SQL oracle in [[oracleSql]]
+  * runnable by DuckDB over the same parquet tables. The BM25 entries run the
+  * REAL engine (index build -> compressed postings -> decode -> score ->
+  * top-k -> diversity) against a from-first-principles SQL restatement of
+  * the semantics — a full-pipeline differential check through the driver's
+  * correctness gate. All hashes in dedup/fingerprint entries are md5-hex
+  * arithmetic (graft.ops.Hashing) so DuckDB computes identical values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------ engine index
+
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, SearchIndex]()
+
+  /** documents.parquet -> corpus shape -> built index (memoized per sfDir). */
+  def docsIndex(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(sfDir, { _ =>
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("docId"), col("source").as("repo"),
+          concat_ws("/", col("source"), col("lang"), col("doc_id")).as("path"),
+          col("lang"), col("text").as("content"))
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      IndexBuilder.build(spark, corpus, dir,
+        IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+          fields = Seq("content")))
+      new SearchIndex(spark, dir)
+    })
+
+  private def bm25(spark: SparkSession, sfDir: String, query: String, k: Int,
+      diversity: Boolean, wand: Boolean): DataFrame = {
+    val idx = docsIndex(spark, sfDir)
+    QueryEngine.search(idx, query,
+        SearchOpts(k = k, overfetch = 3, diversity = diversity, wand = wand))
+      .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+        round(col("score"), 6).as("score"), col("repo"))
+  }
+
+  // ------------------------------------------------------------- entry point
+
+  /** Flagship query on sf=0.001: full engine search (driver smoke-check). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    bm25(spark, "/root/testdata/sf0.001", "spark merge join", 10,
+      diversity = true, wand = true)
+
+  // ------------------------------------------------------------ query map
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- general analytics (Catalyst-planned; filters/joins/windows) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+    "q03_top_customers" -> ((s, d) => {
+      val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      rev.join(broadcast(t(s, d, "customer")), rev("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc).limit(10)
+    }),
+    "q04_order_ranks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+          col("o_totalprice"))
+    }),
+    "q05_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }),
+
+    // ---- search-engine core over the real index ----
+    "q10_index_stats" -> ((s, d) => {
+      val idx = docsIndex(s, d)
+      val (n, avgdl) = idx.stats("content")
+      val dictAgg = idx.dictionary.agg(count(lit(1)).as("vocab"),
+        sum(col("df")).as("postings")).collect()(0)
+      import s.implicits._
+      Seq((n, BigDecimal(avgdl).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        dictAgg.getLong(0), dictAgg.getLong(1)))
+        .toDF("n_docs", "avgdl", "vocab", "postings")
+    }),
+    "q11_term_df" -> ((s, d) => {
+      docsIndex(s, d).dictionary
+        .select(col("term"), col("df"), col("totalTf").as("total_tf"))
+        .orderBy(col("df").desc, col("term").asc).limit(20)
+    }),
+    "q12_postings" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "merge", "window", "batch", "query")
+      val idx = docsIndex(s, d)
+      idx.postings.filter(col("term").isin(terms: _*))
+        .select(col("field"), col("term"), col("docGroup").cast("long").as("docGroup"),
+          col("blockIdx"), col("firstDocId"), col("lastDocId"), col("n"),
+          col("sumTf"), col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
+          col("bytes"))
+        .as[BlockRow]
+        .flatMap(b => Codec.decodeBlock(b.firstDocId, b.bytes).iterator
+          .map(p => (b.term, p.docId, p.tf.toLong, p.dl.toLong)))
+        .toDF("term", "doc_id", "tf", "dl")
+    }),
+    "q13_bm25_topk" -> ((s, d) =>
+      bm25(s, d, "spark merge join", 10, diversity = false, wand = false)),
+    "q14_bm25_wand" -> ((s, d) =>
+      bm25(s, d, "window scan filter", 10, diversity = false, wand = true)),
+    "q15_bm25_multi" -> ((s, d) => {
+      Seq("sort table", "group data row", "slow filter")
+        .zipWithIndex.map { case (q, i) =>
+          bm25(s, d, q, 5, diversity = false, wand = i % 2 == 1)
+            .withColumn("qid", lit(i.toLong))
+        }.reduce(_ unionByName _)
+    }),
+    "q17_bm25_diversity" -> ((s, d) =>
+      bm25(s, d, "spark merge join", 9, diversity = true, wand = true)),
+    "q16_phrase_count" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        posexplode(graft.core.Analyzer.tokensCol(col("text"))).as(Seq("pos", "term")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      toks.withColumn("nxt", lead(col("term"), 1).over(w))
+        .filter(col("term") === "merge" && col("nxt") === "join")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("occurrences"))
+    }),
+
+    // ---- dedup / text analysis (training-data ops) ----
+    "q20_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    "q21_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 4)),
+    "q22_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 4, rowsPerBand = 2)),
+    "q23_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", bits = 20)),
+    "q24_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)),
+    "q25_langid" -> ((s, d) =>
+      TextAnalysis.langId(s, t(s, d, "documents"), "doc_id", "text")),
+    "q26_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("word_count", col("word_count").cast("long"))),
+    "q27_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("re_tokens").cast("long").as("re_tokens"), col("bpe_est"))),
+    "q28_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- embedding similarity ----
+    "q30_knn_brute" -> ((s, d) =>
+      Similarity.knnBrute(t(s, d, "embeddings"), "vec_id", "embedding", 0L, 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumnRenamed("rank", "rnk")),
+    "q31_ann_bucket" -> ((s, d) =>
+      Similarity.annBucketed(t(s, d, "embeddings"), "vec_id", "embedding", 1L, 5, bits = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumnRenamed("rank", "rnk")),
+    "q32_near_dup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        t(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.25, bits = 4)),
+    "q33_centroids" -> ((s, d) => {
+      Similarity.centroids(t(s, d, "embeddings"), "label", "embedding")
+        .select(col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"), col("centroid"))
+    }),
+
+    // ---- multimodal plumbing (deterministic stub decode) ----
+    "q40_media_meta" -> ((s, d) =>
+      Multimodal.metaColumns(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames")))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Positional token stream CTE (DuckDB). */
+  private val ToksPos =
+    """ptoks AS (
+      |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+      |)""".stripMargin
+
+  private val Toks =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+      |)""".stripMargin
+
+  private val Dl = "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
+
+  /** hp(term) = h60(md5) mod P — mirrors graft.ops.Hashing. */
+  private def hpSql(c: String): String =
+    s"(CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT) % 2147483647)"
+  private def h60Sql(c: String): String =
+    s"CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT)"
+  private def uhashSql(h: String, i: Int): String =
+    s"(((${31 + 2 * i} * $h) + 1013904223 + ${i * 97}) % 2147483647)"
+
+  /** Full BM25 oracle for one query (mirrors QueryEngine.search exactly). */
+  def bm25Sql(terms: Seq[String], k: Int, diversity: Boolean,
+      qid: Option[Int] = None): String = {
+    val sorted = terms.sorted.distinct
+    val vals = sorted.map(t => s"('$t')").mkString(",")
+    val m = k * 3
+    val cap = math.max(1, k / 3)
+    val qidSel = qid.map(i => s", CAST($i AS BIGINT) AS qid").getOrElse("")
+    val composite = "score DESC, quality DESC, reposcore DESC, doc_id"
+    val core = s"""WITH $Toks, $Dl,
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES $vals),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN (SELECT term FROM q) GROUP BY term),
+tft AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ln((st.n - f.df + 0.5) / (f.df + 0.5)) *
+         (t.tf * (1.2 + 1.0) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))) AS c
+  FROM tft t JOIN dft f USING (term) JOIN dl l ON t.doc_id = l.doc_id, st),
+sc AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id),
+topm AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $m),
+meta AS (
+  SELECT d.doc_id, d.source AS repo,
+    CASE WHEN l.dl < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3 WHEN l.dl < 300 THEN 0.7
+         WHEN l.dl < 1000 THEN 1.5 WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
+  FROM documents d JOIN dl l USING (doc_id)),
+joined AS (SELECT t.doc_id, t.score, m.repo, m.quality, m.reposcore FROM topm t JOIN meta m USING (doc_id))"""
+    if (!diversity)
+      s"""$core
+SELECT CAST(row_number() OVER (ORDER BY $composite) AS BIGINT) AS rnk,
+       doc_id, round(score, 6) AS score, repo$qidSel
+FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
+    else
+      s"""$core,
+passed AS (
+  SELECT *, CASE WHEN row_number() OVER (PARTITION BY repo ORDER BY $composite) <= $cap
+                 THEN 0 ELSE 1 END AS pass FROM joined),
+page AS (SELECT * FROM passed ORDER BY pass, $composite LIMIT $k)
+SELECT CAST(row_number() OVER (ORDER BY pass, $composite) AS BIGINT) AS rnk,
+       doc_id, round(score, 6) AS score, repo$qidSel
+FROM page"""
+  }
+
+  private val metaSqlWidth =
+    "64 + (((CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT) * 16) | (CAST(('0x' || substring(md5(text), 3, 2)) AS BIGINT) // 16)) % 1856)"
+  private val metaSqlHeight =
+    "64 + (((CAST(('0x' || substring(md5(text), 5, 2)) AS BIGINT) * 16) | (CAST(('0x' || substring(md5(text), 7, 2)) AS BIGINT) // 16)) % 1016)"
+  private val metaSqlFrames =
+    "1 + (CAST(('0x' || substring(md5(text), 9, 2)) AS BIGINT) % 64)"
+
+  private def cosSql(xs: String, ys: String): String =
+    s"sum(CAST($xs AS DOUBLE) * CAST($ys AS DOUBLE) ORDER BY i)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name, revenue, n_orders FROM (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey) r
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "q04_order_ranks" ->
+      """SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+          FROM orders) WHERE rnk <= 3""",
+    "q05_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2""",
+
+    "q10_index_stats" ->
+      s"""WITH $Toks, $Dl
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT round(avg(dl), 6) FROM dl) AS avgdl,
+               count(DISTINCT term) AS vocab,
+               count(DISTINCT (doc_id, term)) AS postings
+        FROM toks""",
+    "q11_term_df" ->
+      s"""WITH $Toks
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+        FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+    "q12_postings" ->
+      s"""WITH $Toks, $Dl
+        SELECT term, toks.doc_id AS doc_id, count(*) AS tf, CAST(min(dl.dl) AS BIGINT) AS dl
+        FROM toks JOIN dl ON toks.doc_id = dl.doc_id
+        WHERE term IN ('spark','merge','window','batch','query')
+        GROUP BY term, toks.doc_id""",
+    "q13_bm25_topk" -> bm25Sql(Seq("spark", "merge", "join"), 10, diversity = false),
+    "q14_bm25_wand" -> bm25Sql(Seq("window", "scan", "filter"), 10, diversity = false),
+    "q15_bm25_multi" -> Seq(
+        ("sort table", 0), ("group data row", 1), ("slow filter", 2))
+      .map { case (q, i) =>
+        s"SELECT * FROM (${bm25Sql(q.split(" ").toSeq, 5, diversity = false, qid = Some(i))})"
+      }.mkString("\nUNION ALL\n"),
+    "q17_bm25_diversity" -> bm25Sql(Seq("spark", "merge", "join"), 9, diversity = true),
+    "q16_phrase_count" ->
+      s"""WITH $ToksPos,
+        nxt AS (SELECT doc_id, term,
+                lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM ptoks)
+        SELECT doc_id, count(*) AS occurrences FROM nxt
+        WHERE term = 'merge' AND nxt = 'join' GROUP BY doc_id""",
+
+    "q20_dedup_exact" ->
+      """WITH sigs AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sig
+          FROM documents)
+        SELECT doc_id, sig,
+               count(*) OVER (PARTITION BY sig) AS group_size,
+               CAST(CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY sig)
+                    THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM sigs""",
+    "q21_minhash_sig" -> {
+      val h = hpSql("term")
+      s"""WITH dtoks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id,
+          ${(0 until 4).map(i => s"min(${uhashSql(h, i)}) AS mh_$i").mkString(",\n          ")}
+        FROM dtoks GROUP BY doc_id"""
+    },
+    "q22_lsh_pairs" -> {
+      val h = hpSql("term")
+      s"""WITH dtoks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents WHERE doc_id % 10 = 0),
+        sigs AS (
+          SELECT doc_id,
+            ${(0 until 4).map(i => s"min(${uhashSql(h, i)}) AS mh_$i").mkString(",\n            ")}
+          FROM dtoks GROUP BY doc_id)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND
+          ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1) OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3))"""
+    },
+    "q23_simhash" -> {
+      s"""WITH tfs AS (
+          SELECT doc_id, term, count(*) AS w FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents WHERE doc_id % 10 = 0) GROUP BY doc_id, term),
+        hs AS (SELECT doc_id, w, ${h60Sql("term")} AS h FROM tfs),
+        bitsums AS (
+          SELECT doc_id, j,
+            sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN w ELSE -w END) AS s
+          FROM hs, generate_series(0, 19) AS g(j) GROUP BY doc_id, j)
+        SELECT doc_id,
+          sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS simhash
+        FROM bitsums GROUP BY doc_id"""
+    },
+    "q24_ngram_pairs" ->
+      s"""WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ptoks AS (
+          SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM sample)),
+        grams AS (
+          SELECT doc_id, term, lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2
+          FROM ptoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sh AS (SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+               FROM grams WHERE t2 IS NOT NULL),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""",
+    "q25_langid" -> {
+      val markers = TextAnalysis.LangMarkers
+        .map { case (l, m) => s"('$l','$m')" }.mkString(",")
+      s"""WITH $Toks, $Dl,
+        markers(cand_lang, marker) AS (VALUES $markers),
+        hits AS (
+          SELECT toks.doc_id, cand_lang, count(*) AS hits
+          FROM toks JOIN markers ON term = marker GROUP BY toks.doc_id, cand_lang),
+        scored AS (
+          SELECT h.doc_id, cand_lang, CAST(hits AS DOUBLE) / dl.dl AS score
+          FROM hits h JOIN dl ON h.doc_id = dl.doc_id)
+        SELECT doc_id, cand_lang AS predicted_lang, round(score, 6) AS confidence
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cand_lang) AS rn FROM scored)
+        WHERE rn = 1"""
+    },
+    "q26_quality" ->
+      s"""WITH base AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        m AS (
+          SELECT doc_id, len(toks) AS wc,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+              / len(toks) AS stopr
+          FROM base)
+        SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+          round(uniq, 6) AS uniq_ratio, round(stopr, 6) AS stop_ratio,
+          round((CASE WHEN wc >= 300 THEN 40.0 WHEN wc >= 100 THEN 30.0
+                      WHEN wc >= 30 THEN 20.0 ELSE 5.0 END) +
+                (CASE WHEN uniq >= 0.6 THEN 30.0 WHEN uniq >= 0.4 THEN 20.0 ELSE 10.0 END) +
+                (CASE WHEN stopr BETWEEN 0.1 AND 0.5 THEN 30.0
+                      WHEN stopr < 0.1 THEN 15.0 ELSE 10.0 END), 1) AS quality
+        FROM m""",
+    "q27_token_counts" ->
+      """SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+        FROM documents""",
+    "q28_fingerprint" ->
+      s"""WITH $ToksPos
+        SELECT doc_id,
+          CAST((sum((${hpSql("term")} * ((pos + 1) % 997)) % 2147483647) % 2147483647) AS BIGINT) AS fingerprint
+        FROM ptoks GROUP BY doc_id""",
+
+    "q30_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        prs AS (SELECT vec_id, embedding AS x, q.e AS y FROM embeddings, q WHERE vec_id <> 0),
+        terms AS (SELECT vec_id, generate_subscripts(x, 1) AS i, unnest(x) AS xv, unnest(y) AS yv FROM prs),
+        dots AS (SELECT vec_id, ${cosSql("xv", "yv")} AS dot,
+                        ${cosSql("xv", "xv")} AS na, ${cosSql("yv", "yv")} AS nb
+                 FROM terms GROUP BY vec_id),
+        cs AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots)
+        SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+               vec_id, round(cos, 6) AS cos
+        FROM (SELECT * FROM cs ORDER BY cos DESC, vec_id LIMIT 10)""",
+    "q31_ann_bucket" ->
+      s"""WITH wb AS (
+          SELECT vec_id, embedding,
+            ${(0 until 4).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
+          FROM embeddings),
+        q AS (SELECT embedding AS e, bucket AS qb FROM wb WHERE vec_id = 1),
+        prs AS (SELECT vec_id, embedding AS x, q.e AS y, bucket FROM wb, q
+                WHERE bucket = q.qb AND vec_id <> 1),
+        terms AS (SELECT vec_id, bucket, generate_subscripts(x, 1) AS i, unnest(x) AS xv, unnest(y) AS yv FROM prs),
+        dots AS (SELECT vec_id, bucket, ${cosSql("xv", "yv")} AS dot,
+                        ${cosSql("xv", "xv")} AS na, ${cosSql("yv", "yv")} AS nb
+                 FROM terms GROUP BY vec_id, bucket),
+        cs AS (SELECT vec_id, bucket, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots)
+        SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+               vec_id, round(cos, 6) AS cos, bucket
+        FROM (SELECT * FROM cs ORDER BY cos DESC, vec_id LIMIT 5)""",
+    "q32_near_dup_cosine" ->
+      s"""WITH sample AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+        wb AS (
+          SELECT vec_id, embedding,
+            ${(0 until 4).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
+          FROM sample),
+        prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS x, b.embedding AS y
+                FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        terms AS (SELECT id_a, id_b, generate_subscripts(x, 1) AS i, unnest(x) AS xv, unnest(y) AS yv FROM prs),
+        dots AS (SELECT id_a, id_b, ${cosSql("xv", "yv")} AS dot,
+                        ${cosSql("xv", "xv")} AS na, ${cosSql("yv", "yv")} AS nb
+                 FROM terms GROUP BY id_a, id_b),
+        cs AS (SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots)
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM cs WHERE cos >= 0.25""",
+    "q33_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+        FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v FROM embeddings)
+        GROUP BY label, dim""",
+
+    "q40_media_meta" ->
+      s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        CAST($metaSqlWidth AS BIGINT) AS width,
+        CAST($metaSqlHeight AS BIGINT) AS height,
+        CAST($metaSqlFrames AS BIGINT) AS n_frames
+        FROM documents"""
+  )
 }

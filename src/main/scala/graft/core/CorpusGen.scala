@@ -1,0 +1,113 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic source-code corpus generator (FIXTURES.md §1).
+  *
+  * Every row is a pure function of (seed, rowId) via a splitmix64-style
+  * mixer, so the table is identical at any parallelism level — the property
+  * the two-parallelism scaling runs and the local[2]-vs-local[8]
+  * rank-identity tests rely on.
+  *
+  * Token distribution: Zipfian identifier vocabulary + a hot set of code
+  * stop-words (exercises the docGroup-segmented skew path, cf. the
+  * reference's stopword lists data_pipeline/hybrid_processor.py:90-124) +
+  * planted occurrences of the 12 reference queries' terms at controlled tf
+  * so top-k fixtures are hand-checkable (BASELINE.md query set).
+  */
+object CorpusGen {
+
+  /** Hot code stop-words — the skew seed set. */
+  val StopWords: Array[String] = Array(
+    "the", "if", "else", "return", "import", "def", "class", "public",
+    "static", "void", "int", "val", "var", "for", "while", "new", "this",
+    "null", "true", "false")
+
+  /** Terms of the 12 reference queries (BASELINE.md). */
+  val QueryTerms: Array[String] = Array(
+    "python", "tutorial", "javascript", "async", "await", "machine",
+    "learning", "basics", "react", "hooks", "usestate", "optimization",
+    "algorithms", "database", "performance", "tuning", "programming")
+
+  val Langs: Array[String] = Array("scala", "java", "python", "rust", "js", "md")
+
+  private val VocabSize = 5000
+
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Zipfian-ish vocabulary pick: rank r with probability ~ 1/(r+1). */
+  private def zipfPick(u: Double): Int = {
+    // inverse CDF of p(r) ~ 1/(r+1) over [0, VocabSize): r = V^u - 1
+    val r = math.pow(VocabSize.toDouble, u) - 1.0
+    math.min(VocabSize - 1, math.max(0, r.toInt))
+  }
+
+  def hexString(seed: Long, nibbles: Int): String = {
+    val sb = new StringBuilder(nibbles)
+    var s = seed
+    var i = 0
+    while (i < nibbles) {
+      if (i % 16 == 0) s = mix64(s + i)
+      sb.append(java.lang.Long.toHexString((s >>> ((i % 16) * 4)) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Generate row `id` under `seed` (pure, deterministic). */
+  def row(seed: Long, id: Long): SourceFile = {
+    val h0 = mix64(seed ^ mix64(id))
+    val repo = s"org${java.lang.Long.remainderUnsigned(h0, 40)}/proj-${java.lang.Long.remainderUnsigned(mix64(h0), 160)}"
+    val lang = Langs((java.lang.Long.remainderUnsigned(mix64(h0 + 1), Langs.length.toLong)).toInt)
+    val path = s"src/${java.lang.Long.remainderUnsigned(mix64(h0 + 2), 20)}/file_${id}.${lang}"
+    val commit = hexString(h0 + 3, 40)
+
+    val nTokens = 40 + (java.lang.Long.remainderUnsigned(mix64(h0 + 4), 260L)).toInt
+    val sb = new StringBuilder(nTokens * 8)
+    var i = 0
+    while (i < nTokens) {
+      val r = mix64(h0 + 100 + i)
+      val u = (r >>> 11).toDouble / (1L << 53).toDouble // uniform [0,1)
+      val tok =
+        if (u < 0.30) StopWords((java.lang.Long.remainderUnsigned(mix64(r), StopWords.length.toLong)).toInt)
+        else s"id${zipfPick((u - 0.30) / 0.70)}"
+      if (i > 0) sb.append(' ')
+      sb.append(tok)
+      i += 1
+    }
+    // Planted relevance: doc `id` hosts query-term qi = id % 23 when
+    // id % 23 < QueryTerms.length, repeated (1 + id % 5) times.
+    val qi = (id % 23).toInt
+    if (qi < QueryTerms.length) {
+      val reps = 1 + (id % 5).toInt
+      var j = 0
+      while (j < reps) { sb.append(' ').append(QueryTerms(qi)); j += 1 }
+      // every third planted doc also gets the *next* term, creating
+      // multi-term matches for two-word queries
+      if (id % 3 == 0 && qi + 1 < QueryTerms.length)
+        sb.append(' ').append(QueryTerms(qi + 1))
+    }
+    val content = sb.toString
+    SourceFile(repo, path, commit, lang, content, sha256Hex(content))
+  }
+
+  def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Distributed generation: spark.range is splittable; each row depends
+    * only on its id, so partitioning never changes content. */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[SourceFile] = {
+    import spark.implicits._
+    val base =
+      if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
+    base.map(id => row(seed, id))
+  }
+}

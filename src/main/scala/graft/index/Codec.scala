@@ -1,0 +1,99 @@
+package graft.index
+
+import graft.core.Posting
+import java.io.ByteArrayOutputStream
+
+/** Varint (unsigned LEB128) + delta block codec for posting lists.
+  *
+  * The reference delegates posting storage to Lucene (invisible in-repo);
+  * this is our explicit, from-scratch equivalent mandated by the north rule:
+  * docIds delta+varint encoded, tfs/dls varint, positions delta+varint,
+  * ~blockSize docs per block (Lucene-like 128).
+  *
+  * Pure JVM code, no Spark dependency — property-tested for roundtrip
+  * identity and sortedness invariants (CodecSpec).
+  */
+object Codec {
+
+  def writeVarint(out: ByteArrayOutputStream, value0: Long): Unit = {
+    require(value0 >= 0, s"varint requires non-negative, got $value0")
+    var value = value0
+    while ((value & ~0x7fL) != 0) {
+      out.write(((value & 0x7f) | 0x80).toInt)
+      value >>>= 7
+    }
+    out.write(value.toInt)
+  }
+
+  final class Reader(bytes: Array[Byte]) {
+    private var pos = 0
+    def hasNext: Boolean = pos < bytes.length
+    def readVarint(): Long = {
+      var shift = 0
+      var result = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+  }
+
+  /** Encode a docId-sorted run of postings into one block payload.
+    * Postings MUST be strictly increasing by docId; positions MUST be
+    * strictly increasing. firstDocId is the delta base.
+    */
+  def encodeBlock(firstDocId: Long, postings: Seq[Posting]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(postings.size * 6)
+    writeVarint(out, postings.size.toLong)
+    var prev = firstDocId
+    postings.foreach { p =>
+      require(p.docId >= prev, s"postings not sorted: ${p.docId} after $prev")
+      writeVarint(out, p.docId - prev)
+      prev = p.docId
+      writeVarint(out, p.tf.toLong)
+      writeVarint(out, p.dl.toLong)
+      writeVarint(out, p.positions.length.toLong)
+      var prevPos = 0L
+      p.positions.foreach { q =>
+        writeVarint(out, q.toLong - prevPos)
+        prevPos = q.toLong
+      }
+    }
+    out.toByteArray
+  }
+
+  def decodeBlock(firstDocId: Long, bytes: Array[Byte]): Array[Posting] = {
+    val in = new Reader(bytes)
+    val n = in.readVarint().toInt
+    val result = new Array[Posting](n)
+    var prev = firstDocId
+    var i = 0
+    while (i < n) {
+      val docId = prev + in.readVarint()
+      prev = docId
+      val tf = in.readVarint().toInt
+      val dl = in.readVarint().toInt
+      val nPos = in.readVarint().toInt
+      val positions = new Array[Int](nPos)
+      var j = 0
+      var prevPos = 0L
+      while (j < nPos) {
+        prevPos += in.readVarint()
+        positions(j) = prevPos.toInt
+        j += 1
+      }
+      result(i) = Posting(docId, tf, dl, positions)
+      i += 1
+    }
+    result
+  }
+
+  /** Uncompressed size estimate (8B docId + 4B tf + 4B dl + 4B/position),
+    * used only for the bytesRawEstimate build metric. */
+  def rawSizeEstimate(postings: Seq[Posting]): Long =
+    postings.iterator.map(p => 16L + 4L * p.positions.length).sum
+}

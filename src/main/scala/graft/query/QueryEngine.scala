@@ -1,0 +1,413 @@
+package graft.query
+
+import graft.core.Analyzer
+import graft.index.{BlockRow, Codec, IndexBuilder}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Handle to a built index (IndexBuilder layout). Dictionary lookups and
+  * corpus stats are tiny; they are collected once / per query and shipped in
+  * task closures (the reference's "broadcast stats" shape, SURVEY §2.11). */
+class SearchIndex(val spark: SparkSession, val dir: String) {
+  private val layout = IndexBuilder.Layout(dir)
+  lazy val docs: DataFrame = spark.read.parquet(layout.docs)
+  lazy val postings: DataFrame = spark.read.parquet(layout.postings)
+  lazy val dictionary: DataFrame = spark.read.parquet(layout.dictionary)
+  /** field -> (N, avgdl) */
+  lazy val stats: Map[String, (Long, Double)] =
+    spark.read.parquet(layout.stats).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  /** (field, term) -> df. Predicate-pushed scan of the dictionary. */
+  def lookup(fields: Seq[String], terms: Seq[String]): Map[(String, String), Long] = {
+    if (terms.isEmpty) return Map.empty
+    dictionary
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .select("field", "term", "df").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+}
+
+object QueryEngine {
+
+  /** Query options mirroring the reference search shape
+    * (opensearch_service.py:173-239):
+    * fields+boosts = multi_match R4; phraseBoost = match_phrase R5;
+    * overfetch ×3 = R7; diversity cap = R9; k = page size. */
+  case class SearchOpts(
+      k: Int = 10,
+      overfetch: Int = 3,
+      fields: Seq[(String, Double)] = Seq("content" -> 1.0),
+      phraseBoost: Double = 0.0,   // reference uses 2.0 on the text field
+      phraseField: String = "content",
+      wand: Boolean = false,
+      diversity: Boolean = true,
+      bm25: BM25.Params = BM25.Params())
+
+  /** Engine semantics (fixed so distributed, WAND, oracle and SQL agree):
+    *  1. candidates = OR over distinct query terms, score = sum of
+    *     boost*idf*tfNorm in ascending (field, term) order (+ phrase arm);
+    *  2. top-(k*overfetch) candidates by (score desc, docId asc);
+    *  3. R8 composite sort (score, qualityScore, repoScore, docId);
+    *  4. R9 repo-diversity two-pass greedy, cap max(1, k/3);
+    *  5. limit k; broadcast join to doc metadata (R10).
+    *
+    * Result columns: rank, docId, score, repo, path, lang, qualityScore,
+    * repoScore.
+    */
+  def search(index: SearchIndex, query: String, opts: SearchOpts = SearchOpts()): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val cand = candidates(index, query, opts)
+    val m = opts.k * opts.overfetch
+    // top-m by (score desc, docId asc): TakeOrderedAndProject — no full sort
+    val top = cand.orderBy($"score".desc, $"docId".asc).limit(m)
+
+    // broadcast the tiny top-m side into the big docs table (R10 shape)
+    val joined = index.docs
+      .join(broadcast(top), Seq("docId"))
+      .select($"docId", $"score", $"repo", $"path", $"lang",
+        $"qualityScore", $"repoScore")
+
+    val composite = Seq($"score".desc, $"qualityScore".desc,
+      $"repoScore".desc, $"docId".asc)
+
+    val page =
+      if (!opts.diversity) {
+        joined.orderBy(composite: _*).limit(opts.k)
+          .withColumn("rank", row_number().over(Window.orderBy(composite: _*)))
+      } else {
+        // R9 two-pass greedy == window formulation (SURVEY R9): pass 0 =
+        // first `cap` hits per repo in composite order; pass 1 backfills,
+        // both passes keep composite order.
+        val cap = math.max(1, opts.k / 3)
+        val byRepo = Window.partitionBy($"repo").orderBy(composite: _*)
+        val passOrder = Seq($"pass".asc) ++ composite
+        joined
+          .withColumn("pass", when(row_number().over(byRepo) <= cap, 0).otherwise(1))
+          .orderBy(passOrder: _*).limit(opts.k)
+          .withColumn("rank", row_number().over(Window.orderBy(passOrder: _*)))
+      }
+    page.select($"rank", $"docId", $"score", $"repo", $"path", $"lang",
+      $"qualityScore", $"repoScore")
+  }
+
+  /** Fallback query (R6 shape): path^2.0 + content, plus a path-substring
+    * "wildcard" arm at a fixed epsilon score; used when the primary search
+    * is empty (opensearch_service.py:241-261). */
+  def fallback(index: SearchIndex, query: String, opts: SearchOpts = SearchOpts()): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val relaxed = opts.copy(fields = Seq("path" -> 2.0, "content" -> 1.0),
+      phraseBoost = 0.0)
+    val scored = candidates(index, query, relaxed)
+    val needle = query.toLowerCase(java.util.Locale.ROOT).trim
+    val wildcard = index.docs
+      .filter(lower($"path").contains(needle))
+      .select($"docId", lit(0.1).as("score"))
+    scored.unionByName(wildcard)
+      .groupBy($"docId").agg(max($"score").as("score"))
+  }
+
+  /** Scored candidate set (docId, score) — OR semantics over distinct query
+    * terms (R3), multi-field boosts (R4), optional phrase (R5). Exhaustive
+    * and WAND paths are score- and rank-identical (differential-tested). */
+  def candidates(index: SearchIndex, query: String, opts: SearchOpts): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val terms = Analyzer.distinctQueryTerms(query).sorted
+    if (terms.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+
+    val fieldNames = opts.fields.map(_._1)
+    val boosts = opts.fields.toMap
+    val dfs = index.lookup(fieldNames, terms.toSeq)
+    if (dfs.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+
+    // (field, term) -> weight = boost * idf  (driver-side; <= 32 entries)
+    val weights: Map[(String, String), Double] = dfs.map { case ((f, t), df) =>
+      val (n, _) = index.stats(f)
+      (f, t) -> boosts(f) * BM25.idf(n, df, opts.bm25)
+    }
+    val avgdls: Map[String, Double] = index.stats.map { case (f, (_, a)) => f -> a }
+
+    val phraseTerms: Array[String] =
+      if (opts.phraseBoost > 0) Analyzer.queryTerms(query) else Array.empty
+    val phraseOn = phraseTerms.length >= 2 &&
+      phraseTerms.forall(t => dfs.contains((opts.phraseField, t)))
+    val phraseIdf: Double =
+      if (phraseOn)
+        phraseTerms.map(t => BM25.idf(index.stats(opts.phraseField)._1,
+          dfs((opts.phraseField, t)), opts.bm25)).min
+      else 0.0
+
+    val blocks = index.postings
+      .filter(col("field").isin(fieldNames: _*) && col("term").isin(terms.toSeq: _*))
+      .select(col("field"), col("term"), col("docGroup").cast("long").as("docGroup"),
+        col("blockIdx"), col("firstDocId"), col("lastDocId"), col("n"),
+        col("sumTf"), col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
+        col("bytes"))
+      .as[BlockRow]
+
+    if (opts.wand)
+      wandCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms, phraseIdf)
+    else
+      exhaustiveCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms, phraseIdf)
+  }
+
+  /** Phrase tfNorm arm shared by all paths (fixed op order). */
+  private def phraseScore(pTerms: Array[String], byTerm: Map[String, Array[Int]],
+      dl: Int, avgdl: Double, pb: Double, phraseIdf: Double, p: BM25.Params): Double = {
+    if (!pTerms.forall(byTerm.contains)) return 0.0
+    val occ = countPhrase(pTerms, byTerm)
+    if (occ == 0) 0.0
+    else pb * phraseIdf *
+      (occ * (p.k1 + 1.0) / (occ + p.k1 * (1.0 - p.b + p.b * dl / avgdl)))
+  }
+
+  def countPhrase(pTerms: Array[String], byTerm: Map[String, Array[Int]]): Int = {
+    val first = byTerm(pTerms.head)
+    var occ = 0
+    first.foreach { p0 =>
+      var ok = true
+      var i = 1
+      while (ok && i < pTerms.length) {
+        if (java.util.Arrays.binarySearch(byTerm(pTerms(i)), p0 + i) < 0) ok = false
+        i += 1
+      }
+      if (ok) occ += 1
+    }
+    occ
+  }
+
+  // ---------------------------------------------------------------- exhaustive
+
+  private def exhaustiveCandidates(spark: SparkSession, blocks: Dataset[BlockRow],
+      weights: Map[(String, String), Double], avgdls: Map[String, Double],
+      opts: SearchOpts, phraseOn: Boolean, phraseTerms: Array[String],
+      phraseIdf: Double): DataFrame = {
+    import spark.implicits._
+    val p = opts.bm25
+    val pf = opts.phraseField
+    val pb = opts.phraseBoost
+    val pTerms = phraseTerms
+
+    // (docId, field, term, contrib, dl, positions)
+    val decoded: Dataset[(Long, String, String, Double, Int, Seq[Int])] =
+      blocks.flatMap { b =>
+        val avgdl = avgdls(b.field)
+        val w = weights((b.field, b.term))
+        val keepPos = phraseOn && b.field == pf && pTerms.contains(b.term)
+        Codec.decodeBlock(b.firstDocId, b.bytes).iterator.map { post =>
+          (post.docId, b.field, b.term,
+            w * BM25.tfNorm(post.tf, post.dl, avgdl, p), post.dl,
+            if (keepPos) post.positions.toSeq else Seq.empty[Int])
+        }
+      }
+
+    decoded.groupByKey(_._1).mapGroups { (docId, it) =>
+      val rows = it.toArray.sortBy(d => (d._2, d._3))
+      var score = 0.0
+      rows.foreach(d => score += d._4) // ascending (field, term) order
+      if (phraseOn) {
+        val byTerm = rows.iterator
+          .filter(d => d._2 == pf && d._6.nonEmpty)
+          .map(d => d._3 -> d._6.toArray).toMap
+        val dl = rows.find(_._2 == pf).map(_._5).getOrElse(0)
+        score += phraseScore(pTerms, byTerm, dl, avgdls(pf), pb, phraseIdf, p)
+      }
+      (docId, score)
+    }.toDF("docId", "score")
+  }
+
+  // ---------------------------------------------------------------- WAND
+
+  /** Block-max WAND (SURVEY §7.3, north_rule): per docGroup, a
+    * document-at-a-time merge over term cursors with (a) whole-group skip
+    * when the group's total upper bound can't beat the heap floor, (b)
+    * pivot-based advance that skips blocks by lastDocId without decoding.
+    * Per-partition bounded top-m heaps; global top-m via
+    * TakeOrderedAndProject in [[search]]. Pruning uses STRICT
+    * less-than so equal-score/smaller-docId boundary candidates are still
+    * scored — required for exact rank identity with the exhaustive path. */
+  private def wandCandidates(spark: SparkSession, blocks: Dataset[BlockRow],
+      weights: Map[(String, String), Double], avgdls: Map[String, Double],
+      opts: SearchOpts, phraseOn: Boolean, phraseTerms: Array[String],
+      phraseIdf: Double): DataFrame = {
+    import spark.implicits._
+    val p = opts.bm25
+    val m = opts.k * opts.overfetch
+    val pf = opts.phraseField
+    val pb = opts.phraseBoost
+    val pTerms = phraseTerms
+    // phrase arm is non-negative, bounded by boost*idf*(k1+1)
+    val phraseUb = if (phraseOn) math.max(0.0, pb * phraseIdf * (p.k1 + 1.0)) else 0.0
+
+    blocks
+      .repartition(col("docGroup"))
+      .sortWithinPartitions("docGroup", "field", "term", "blockIdx")
+      .mapPartitions { it =>
+        val heap = new BoundedTopK(m)
+        val grouped = new GroupIterator(it)
+        while (grouped.hasNext)
+          scoreGroup(grouped.next(), weights, avgdls, p, heap, phraseOn,
+            pTerms, pf, pb, phraseIdf, phraseUb)
+        heap.results.iterator
+      }
+      .toDF("docId", "score")
+  }
+
+  /** Iterator over runs of equal docGroup (input sorted by docGroup). */
+  private final class GroupIterator(it: Iterator[BlockRow])
+      extends Iterator[Seq[BlockRow]] {
+    private val buf = it.buffered
+    def hasNext: Boolean = buf.hasNext
+    def next(): Seq[BlockRow] = {
+      val g = buf.head.docGroup
+      val out = scala.collection.mutable.ArrayBuffer[BlockRow]()
+      while (buf.hasNext && buf.head.docGroup == g) out += buf.next()
+      out.toSeq
+    }
+  }
+
+  /** Bounded heap keeping top-m by (score desc, docId asc); head of the
+    * underlying priority queue is the current WORST kept entry. */
+  private final class BoundedTopK(m: Int) {
+    // "worse" = smaller score, then larger docId; pq is a max-heap by this
+    // ordering, so pq.head is the worst kept entry.
+    private val worseFirst = Ordering.by[(Long, Double), (Double, Long)] {
+      case (d, s) => (-s, d)
+    }
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worseFirst)
+    def full: Boolean = pq.size >= m
+    def floor: Double = if (full) pq.head._2 else Double.NegativeInfinity
+    def add(docId: Long, s: Double): Unit = {
+      if (!full) pq.enqueue((docId, s))
+      else {
+        val (wd, ws) = pq.head
+        if (s > ws || (s == ws && docId < wd)) { pq.dequeue(); pq.enqueue((docId, s)) }
+      }
+    }
+    def results: Seq[(Long, Double)] = pq.toSeq
+  }
+
+  private final class TermCursor(val field: String, val term: String,
+      blockList: IndexedSeq[BlockRow], weight: Double, avgdl: Double,
+      p: BM25.Params) {
+    private var bi = 0
+    private var decoded: Array[graft.core.Posting] = _
+    private var pi = 0
+    private val blockUbs: Array[Double] = blockList.map { b =>
+      val maxN = BM25.tfNorm(b.maxTf, b.minDl, avgdl, p)
+      val minN = BM25.tfNorm(b.minTf, b.maxDl, avgdl, p)
+      BM25.blockUpperBound(weight, maxN, minN) // weight = boost*idf (signed)
+    }.toArray
+    /** suffix max of blockUbs (clamped at 0 — a term can contribute nothing
+      * by simply not matching). */
+    private val suffixUb: Array[Double] = {
+      val out = new Array[Double](blockUbs.length)
+      var acc = 0.0
+      var i = blockUbs.length - 1
+      while (i >= 0) { acc = math.max(acc, blockUbs(i)); out(i) = acc; i -= 1 }
+      out
+    }
+    def exhausted: Boolean = bi >= blockList.length
+    def remainingUb: Double = if (exhausted) 0.0 else math.max(0.0, suffixUb(bi))
+    private def ensureDecoded(): Unit =
+      if (decoded == null) {
+        val b = blockList(bi)
+        decoded = Codec.decodeBlock(b.firstDocId, b.bytes)
+        pi = 0
+      }
+    def currentDoc: Long =
+      if (exhausted) Long.MaxValue
+      else if (decoded == null) blockList(bi).firstDocId // lower bound is exact at block start
+      else decoded(pi).docId
+    def currentPosting: graft.core.Posting = { ensureDecoded(); decoded(pi) }
+    def contributionAtCurrent: Double = {
+      val post = currentPosting
+      weight * BM25.tfNorm(post.tf, post.dl, avgdl, p)
+    }
+    def advance(): Unit = {
+      ensureDecoded()
+      pi += 1
+      if (pi >= decoded.length) { bi += 1; decoded = null; pi = 0 }
+    }
+    /** First doc >= target, skipping whole blocks by lastDocId without
+      * decoding them. */
+    @scala.annotation.tailrec
+    def advanceTo(target: Long): Unit = {
+      while (!exhausted && blockList(bi).lastDocId < target) {
+        bi += 1; decoded = null; pi = 0
+      }
+      if (!exhausted) {
+        ensureDecoded()
+        while (pi < decoded.length && decoded(pi).docId < target) pi += 1
+        if (pi >= decoded.length) { bi += 1; decoded = null; pi = 0; advanceTo(target) }
+      }
+    }
+  }
+
+  private def scoreGroup(groupBlocks: Seq[BlockRow],
+      weights: Map[(String, String), Double], avgdls: Map[String, Double],
+      p: BM25.Params, heap: BoundedTopK, phraseOn: Boolean,
+      pTerms: Array[String], pf: String, pb: Double, phraseIdf: Double,
+      phraseUb: Double): Unit = {
+    // cursors in ascending (field, term) order — the fixed summation order
+    val cursors: Array[TermCursor] = groupBlocks
+      .groupBy(b => (b.field, b.term)).toArray
+      .sortBy(_._1)
+      .map { case ((f, t), bl) =>
+        new TermCursor(f, t, bl.sortBy(_.blockIdx).toIndexedSeq,
+          weights((f, t)), avgdls(f), p)
+      }
+
+    // whole-group skip (strict: boundary ties must still be scored)
+    if (heap.full && cursors.map(_.remainingUb).sum + phraseUb < heap.floor) return
+
+    var done = false
+    while (!done && cursors.exists(!_.exhausted)) {
+      val live = cursors.filter(!_.exhausted)
+      if (heap.full && live.map(_.remainingUb).sum + phraseUb < heap.floor) {
+        done = true
+      } else {
+        val sorted = live.sortBy(_.currentDoc)
+        var acc = phraseUb
+        var pivotIdx = -1
+        var i = 0
+        while (pivotIdx < 0 && i < sorted.length) {
+          acc += sorted(i).remainingUb
+          if (!heap.full || acc >= heap.floor) pivotIdx = i
+          i += 1
+        }
+        if (pivotIdx < 0) done = true
+        else {
+          val pivotDoc = sorted(pivotIdx).currentDoc
+          if (sorted.head.currentDoc == pivotDoc) {
+            var score = 0.0
+            var phrasePositions: Map[String, Array[Int]] = Map.empty
+            var dlPhrase = 0
+            cursors.foreach { c =>
+              if (!c.exhausted && c.currentDoc == pivotDoc) {
+                score += c.contributionAtCurrent
+                if (phraseOn && c.field == pf && pTerms.contains(c.term)) {
+                  phrasePositions += (c.term -> c.currentPosting.positions)
+                  dlPhrase = c.currentPosting.dl
+                }
+              }
+            }
+            if (phraseOn)
+              score += phraseScore(pTerms, phrasePositions, dlPhrase,
+                avgdls(pf), pb, phraseIdf, p)
+            heap.add(pivotDoc, score)
+            cursors.foreach(c => if (!c.exhausted && c.currentDoc == pivotDoc) c.advance())
+          } else {
+            sorted.take(pivotIdx).foreach(_.advanceTo(pivotDoc))
+          }
+        }
+      }
+    }
+  }
+}

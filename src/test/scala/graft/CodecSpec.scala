@@ -1,0 +1,65 @@
+package graft
+
+import graft.core.Posting
+import graft.index.Codec
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Property tests for the varint/delta posting-block codec (SURVEY §7.6
+  * hard-part 3: compression correctness). Seeded generators — deterministic
+  * across runs. */
+class CodecSpec extends AnyFunSuite {
+
+  private def randomPostings(rnd: Random): List[Posting] = {
+    val n = rnd.nextInt(200)
+    var doc = 7L
+    List.fill(n) {
+      doc += 1 + rnd.nextLong(1000000L)
+      val pc = rnd.nextInt(20)
+      var pos = rnd.nextInt(50)
+      val positions = Array.fill(pc) { pos += 1 + rnd.nextInt(7); pos }
+      Posting(doc, 1 + rnd.nextInt(5000), 1 + rnd.nextInt(100000), positions)
+    }
+  }
+
+  test("roundtrip identity: decode(encode(p)) == p (300 random blocks)") {
+    val rnd = new Random(42)
+    (1 to 300).foreach { _ =>
+      val ps = randomPostings(rnd)
+      if (ps.nonEmpty) {
+        val back = Codec.decodeBlock(ps.head.docId, Codec.encodeBlock(ps.head.docId, ps))
+        assert(back.length == ps.length)
+        back.zip(ps).foreach { case (a, b) =>
+          assert(a.docId == b.docId && a.tf == b.tf && a.dl == b.dl)
+          assert(a.positions.sameElements(b.positions))
+        }
+        // sortedness invariant survives the roundtrip
+        assert(back.map(_.docId).toSeq == back.map(_.docId).toSeq.sorted)
+      }
+    }
+  }
+
+  test("encoder rejects unsorted postings") {
+    val bad = Seq(Posting(10, 1, 5, Array()), Posting(9, 1, 5, Array()))
+    intercept[IllegalArgumentException](Codec.encodeBlock(10, bad))
+  }
+
+  test("varint compresses small deltas well") {
+    val ps = (0 until 128).map(i => Posting(1000L + i, 1, 40, Array(i)))
+    val bytes = Codec.encodeBlock(1000L, ps)
+    // 128 postings x (1B delta + 1B tf + 1B dl + 1B npos + 1B pos) + header
+    assert(bytes.length < 128 * 6 + 4, s"block too large: ${bytes.length}")
+    assert(bytes.length < Codec.rawSizeEstimate(ps)) // beats raw layout
+  }
+
+  test("varint handles Long-range deltas") {
+    val ps = Seq(Posting(0L, 1, 1, Array()), Posting(Long.MaxValue - 1, 2, 2, Array(3)))
+    val back = Codec.decodeBlock(0L, Codec.encodeBlock(0L, ps))
+    assert(back(1).docId == Long.MaxValue - 1)
+  }
+
+  test("empty block roundtrips") {
+    val bytes = Codec.encodeBlock(0L, Seq.empty)
+    assert(Codec.decodeBlock(0L, bytes).isEmpty)
+  }
+}
