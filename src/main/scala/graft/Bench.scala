@@ -1,24 +1,203 @@
 package graft
+
+import graft.core.CorpusGen
+import graft.index.IndexBuilder
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
 import org.apache.spark.sql.SparkSession
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Measures the BASELINE.md target metrics on the mandated corpus shape
+  * (synthetic source files, CorpusGen — deterministic, identical at any
+  * parallelism):
+  *   - index-build throughput (files/sec) — after a small warm-up build so
+  *     JIT/codegen state is comparable across parallelism levels,
+  *   - BM25 top-10 query latency p50/p95 over the 12 reference queries
+  *     (block-max WAND, diversity on, hot index: postings/docs/dictionary
+  *     cached — the moral equivalent of a search service's resident index),
+  *   - concurrent query throughput (all 12 queries submitted at once),
+  * each at TWO parallelism levels (local[8] vs local[32]) on the SAME
+  * input — the sandbox stand-in for the north rule's N vs 4N executor
+  * clusters — plus scaling efficiencies (target >= 0.8):
+  *   build:  (T_c8 / T_c32) / 4
+  *   query:  (concurrent_qps_c32 / concurrent_qps_c8) / 4
+  */
 object Bench {
+
+  val ReferenceQueries: Seq[String] = Seq(
+    "python tutorial", "javascript async await", "machine learning basics",
+    "react hooks useState", "python optimization",
+    "machine learning algorithms", "react hooks tutorial",
+    "database performance tuning", "python machine learning optimization",
+    "javascript async programming", "python programming tutorial",
+    "machine learning optimization")
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-c$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+  }
+
+  case class RunResult(buildSec: Double, filesPerSec: Double,
+      latencies: Map[String, Double], p50: Double, p95: Double,
+      concurrentQps: Double)
+
+  def runAt(cpus: Int, nDocs: Long, seed: Long): RunResult = {
+    val spark = session(cpus)
+    try {
+      val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+        fields = Seq("content"))
+      val opts = SearchOpts(k = 10, overfetch = 3, diversity = true, wand = true)
+
+      // ---- warm-up: small build + query so JIT/codegen is hot at both levels
+      IndexBuilder.deleteDir(spark, "/tmp/graft-bench")
+      val warmDir = s"/tmp/graft-bench/warm-c$cpus"
+      IndexBuilder.build(spark,
+        CorpusGen.generateDF(spark, 2000L, seed + 1, partitions = cpus), warmDir, params)
+      QueryEngine.search(new SearchIndex(spark, warmDir),
+        ReferenceQueries.head, opts).collect()
+
+      // ---- timed build: best of 2 (page-cache/IO noise on a shared box
+      // easily exceeds the effect being measured)
+      val dir = s"/tmp/graft-bench/index-c$cpus"
+      val corpus = CorpusGen.generateDF(spark, nDocs, seed, partitions = cpus * 4)
+      val buildSec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        IndexBuilder.build(spark, corpus, dir, params)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+      // ---- query phase: hot index (a long-running search service keeps the
+      // index resident, cf. the reference's OpenSearch node)
+      val index = new SearchIndex(spark, dir).warm()
+      // small-data shuffles: AQE stage materialization and 32-way shuffles
+      // only add scheduling latency at top-k scale
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+      QueryEngine.search(index, ReferenceQueries.head, opts).collect() // warm cache
+
+      val lats = ReferenceQueries.zipWithIndex.map { case (q, i) =>
+        val s0 = System.nanoTime()
+        QueryEngine.search(index, q, opts).collect()
+        f"q${i + 1}%02d" -> (System.nanoTime() - s0) / 1e9
+      }.toMap
+
+      // concurrent throughput: 4 waves of the 12 queries in flight at once
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val batch = Seq.fill(4)(ReferenceQueries).flatten
+      val c0 = System.nanoTime()
+      val futs = batch.map(q =>
+        Future(QueryEngine.search(index, q, opts).collect()))
+      Await.result(Future.sequence(futs), 10.minutes)
+      val concurrentSec = (System.nanoTime() - c0) / 1e9
+
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+
+      val ls = lats.values.toSeq
+      RunResult(buildSec, nDocs / buildSec, lats, pct(ls, 0.50), pct(ls, 0.95),
+        batch.size / concurrentSec)
+    } finally spark.stop()
+  }
+
+  /** Serialize one level's result as a single machine-readable line. */
+  private def encode(r: RunResult): String =
+    (Seq(r.buildSec, r.filesPerSec, r.p50, r.p95, r.concurrentQps) ++
+      r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
+
+  private def decode(line: String): RunResult = {
+    val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
+    RunResult(xs(0), xs(1),
+      xs.drop(5).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs(2), xs(3), xs(4))
+  }
+
+  /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
+    * the two parallelism levels (same-JVM sequential sessions skew whichever
+    * runs second). Falls back to in-process if spawning fails. */
+  private def runIsolated(cpus: Int, nDocs: Long, seed: Long): RunResult = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val opens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+        "java.base/java.nio", "java.base/java.util",
+        "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        "-Xmx24g", "-XX:+UseParallelGC", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", cpus.toString)).toArray
+      val outFile = _root_.java.nio.file.Files.createTempFile("bench", ".out").toFile
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(outFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val code = p.waitFor()
+      val lines = scala.io.Source.fromFile(outFile).getLines().toSeq
+      outFile.delete()
+      if (code != 0) throw new RuntimeException(s"child exited $code")
+      decode(lines.filter(_.startsWith("BENCHPART ")).last)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] child JVM failed (${e.getMessage}); running in-process")
+        runAt(cpus, nDocs, seed)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // big enough that parallel compute dominates the fixed job/commit floor
+    val nDocs: Long =
+      if (sfDir.contains("0.001")) 5000L
+      else if (sfDir.contains("0.01")) 50000L
+      else 200000L
+    val seed = 42L
+
+    if (args.nonEmpty) { // child mode: one level, machine-readable line
+      println(encode(runAt(args(0).toInt, nDocs, seed)))
+      return
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    val low = runIsolated(8, nDocs, seed)    // N
+    val high = runIsolated(32, nDocs, seed)  // 4N
+    val effBuild = (low.buildSec / high.buildSec) / 4.0
+    val effQuery = (high.concurrentQps / low.concurrentQps) / 4.0
+
+    val entries: Seq[(String, Double)] =
+      high.latencies.toSeq.sortBy(_._1) ++ Seq(
+        "build_sec_c8" -> low.buildSec,
+        "build_sec_c32" -> high.buildSec,
+        "build_files_per_sec_c8" -> low.filesPerSec,
+        "build_files_per_sec_c32" -> high.filesPerSec,
+        "query_p50_sec_c8" -> low.p50,
+        "query_p95_sec_c8" -> low.p95,
+        "query_p50_sec_c32" -> high.p50,
+        "query_p95_sec_c32" -> high.p95,
+        "concurrent_qps_c8" -> low.concurrentQps,
+        "concurrent_qps_c32" -> high.concurrentQps,
+        "scaling_eff_build_8to32" -> effBuild,
+        "scaling_eff_query_8to32" -> effQuery)
+    val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = low.buildSec + high.buildSec +
+      low.latencies.values.sum + high.latencies.values.sum
+    println(s"""{"metric":"build+query total (c8+c32, $nDocs files)","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

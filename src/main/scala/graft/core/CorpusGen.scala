@@ -110,4 +110,18 @@ object CorpusGen {
       if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
     base.map(id => row(seed, id))
   }
+
+  /** Same corpus WITH a dense deterministic docId (= row index) — the id
+    * shape the engine's range-based docGroup partitioning and incremental
+    * appends are designed around (an Iceberg ingest would assign these
+    * once at write time). */
+  def generateDF(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val base =
+      if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
+    base.map(id => (id, row(seed, id)))
+      .select(org.apache.spark.sql.functions.col("_1").as("docId"),
+        org.apache.spark.sql.functions.col("_2.*"))
+  }
 }

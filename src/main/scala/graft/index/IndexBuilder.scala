@@ -14,6 +14,69 @@ case class BlockRow(
     firstDocId: Long, lastDocId: Long, n: Int, sumTf: Long,
     maxTf: Int, minTf: Int, minDl: Int, maxDl: Int, bytes: Array[Byte])
 
+/** Streaming block builder over token occurrences sorted by
+  * (field, term, docGroup, docId, pos): accumulates one posting at a time,
+  * emits a compressed block every `blockSize` postings — memory is
+  * O(blockSize), never a whole posting list. */
+final class BlockBuildIterator(
+    rows: Iterator[(String, String, Long, Long, Int, Int)],
+    blockSize: Int,
+    rawBytes: Long => Unit) extends Iterator[BlockRow] {
+
+  private val buf = rows.buffered
+  private val out = scala.collection.mutable.Queue[BlockRow]()
+
+  override def hasNext: Boolean = {
+    while (out.isEmpty && buf.hasNext) consumeKey()
+    out.nonEmpty
+  }
+  override def next(): BlockRow = {
+    if (!hasNext) throw new NoSuchElementException
+    out.dequeue()
+  }
+
+  /** Consume all rows of the next (field, term, docGroup) key, enqueueing
+    * its blocks. */
+  private def consumeKey(): Unit = {
+    val (f, t, g, _, _, _) = buf.head
+    val block = new scala.collection.mutable.ArrayBuffer[Posting](blockSize)
+    var blockIdx = 0
+
+    var curDoc = Long.MinValue
+    var curDl = 0
+    val poss = new scala.collection.mutable.ArrayBuffer[Int]()
+
+    def flushBlock(): Unit = if (block.nonEmpty) {
+      val bytes = Codec.encodeBlock(block.head.docId, block.toSeq)
+      rawBytes(Codec.rawSizeEstimate(block.toSeq))
+      out.enqueue(BlockRow(f, t, g, blockIdx, block.head.docId, block.last.docId,
+        block.size, block.iterator.map(_.tf.toLong).sum,
+        block.iterator.map(_.tf).max, block.iterator.map(_.tf).min,
+        block.iterator.map(_.dl).min, block.iterator.map(_.dl).max, bytes))
+      blockIdx += 1
+      block.clear()
+    }
+    def flushDoc(): Unit = if (curDoc != Long.MinValue) {
+      block += Posting(curDoc, poss.length, curDl, poss.toArray)
+      if (block.size >= blockSize) flushBlock()
+      poss.clear()
+    }
+
+    var continue = true
+    while (continue && buf.hasNext) {
+      val h = buf.head
+      if (h._1 != f || h._2 != t || h._3 != g) continue = false
+      else {
+        val (_, _, _, d, dl, p) = buf.next()
+        if (d != curDoc) { flushDoc(); curDoc = d; curDl = dl }
+        poss += p
+      }
+    }
+    flushDoc()
+    flushBlock()
+  }
+}
+
 /** Distributed inverted-index build (SURVEY.md §7.2, north_rule).
   *
   * Layout under `dir` (parquet with the Iceberg-target schemas; the Iceberg
@@ -83,7 +146,12 @@ object IndexBuilder {
     def metrics = s"$dir/metrics"
   }
 
-  /** Deterministic docId for corpora without one. */
+  /** Deterministic docId for corpora without one (xxhash64 of the natural
+    * key). NOTE: hash ids are uniform over the Long range, so the builder
+    * groups them by `pmod(docId, nGroups)` instead of contiguous ranges —
+    * deterministic for a fixed corpus, but NOT append-stable. Incremental /
+    * streaming builds must supply dense monotone docIds (assigned once at
+    * ingest, e.g. CorpusGen.generateDF), which get range grouping. */
   def withDocId(corpus: DataFrame): DataFrame =
     if (corpus.columns.contains("docId")) corpus
     else corpus.withColumn("docId", xxhash64(col("repo"), col("path"), col("commit")))
@@ -109,8 +177,19 @@ object IndexBuilder {
     val sc = spark.sparkContext
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val corpus = withDocId(corpus0)
-      .withColumn("docGroup", floor($"docId" / params.docGroupSize.toDouble).cast("long"))
+    val hadDenseIds = corpus0.columns.contains("docId")
+    val withIds = withDocId(corpus0)
+    // dense ids -> contiguous ranges (append-stable: new ids = new groups);
+    // hash ids -> pmod buckets sized from the corpus count (static builds).
+    val corpus =
+      if (hadDenseIds)
+        withIds.withColumn("docGroup",
+          floor($"docId" / params.docGroupSize.toDouble).cast("long"))
+      else {
+        val n = withIds.count()
+        val nGroups = math.max(1L, math.ceil(n.toDouble / params.docGroupSize).toLong)
+        withIds.withColumn("docGroup", pmod($"docId", lit(nGroups)))
+      }
 
     val doneGroups: Set[Long] =
       if (resume && fileExists(spark, layout.lineage))
@@ -154,27 +233,19 @@ object IndexBuilder {
 
     val bytesRaw = sc.longAccumulator("bytesRawEstimate")
 
-    val postingRows = tokens
-      .groupBy($"field", $"term", $"docGroup", $"docId", $"dl")
-      .agg(count(lit(1)).cast("int").as("tf"),
-        sort_array(collect_list($"pos")).as("positions"))
-
+    // ONE shuffle: hash-partition token occurrences by (field, term,
+    // docGroup) — bounded by docGroupSize regardless of term df — then an
+    // external sort within partitions and a streaming single-pass block
+    // builder (O(blockSize) memory; tf/positions/blocks computed together,
+    // no collect_list buffers).
     val blockSize = params.blockSize
-    val blocks: Dataset[BlockRow] = postingRows
-      .groupBy($"field", $"term", $"docGroup")
-      .agg(collect_list(struct($"docId", $"tf", $"dl", $"positions")).as("plist"))
-      .as[(String, String, Long, Seq[(Long, Int, Int, Seq[Int])])]
-      .flatMap { case (field, term, docGroup, plist) =>
-        val sorted = plist.sortBy(_._1)
-          .map { case (d, tf, dl, pos) => Posting(d, tf, dl, pos.toArray) }
-        bytesRaw.add(Codec.rawSizeEstimate(sorted))
-        sorted.grouped(blockSize).zipWithIndex.map { case (grp, idx) =>
-          val bytes = Codec.encodeBlock(grp.head.docId, grp)
-          BlockRow(field, term, docGroup, idx, grp.head.docId, grp.last.docId,
-            grp.size, grp.iterator.map(_.tf.toLong).sum,
-            grp.iterator.map(_.tf).max, grp.iterator.map(_.tf).min,
-            grp.iterator.map(_.dl).min, grp.iterator.map(_.dl).max, bytes)
-        }
+    val blocks: Dataset[BlockRow] = tokens
+      .select($"field", $"term", $"docGroup", $"docId", $"dl", $"pos")
+      .repartition($"field", $"term", $"docGroup")
+      .sortWithinPartitions($"field", $"term", $"docGroup", $"docId", $"pos")
+      .as[(String, String, Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        new BlockBuildIterator(it, blockSize, raw => bytesRaw.add(raw))
       }
 
     blocks.toDF()
@@ -190,10 +261,16 @@ object IndexBuilder {
       .repartition(8, $"term").sortWithinPartitions("field", "term")
       .write.mode(SaveMode.Overwrite).parquet(layout.dictionary)
 
+    // one job: N, per-field avgdl, sha violations
     val allDocs = spark.read.parquet(layout.docs)
+    val docAggCols = count(lit(1)).as("n") +:
+      sum(when(!$"shaOk", 1L).otherwise(0L)).as("shaViol") +:
+      params.fields.map(f => avg(col(s"dl_$f")).as(s"avgdl_$f"))
+    val docAgg = allDocs.agg(docAggCols.head, docAggCols.tail: _*).collect()(0)
+    val nDocs = docAgg.getAs[Long]("n")
+    val shaViol = docAgg.getAs[Long]("shaViol")
     params.fields.map { f =>
-      val r = allDocs.agg(count(lit(1)), avg(col(s"dl_$f"))).collect()(0)
-      (f, r.getLong(0), r.getDouble(1))
+      (f, nDocs, docAgg.getAs[Double](s"avgdl_$f"))
     }.toDF("field", "n", "avgdl")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.stats)
 
@@ -227,21 +304,22 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage_next")
     replaceDir(spark, s"$dir/lineage_next", layout.lineage)
 
-    // ---- metrics ----
-    val fanIn = allBlocks.groupBy($"field", $"term")
-      .agg(countDistinct($"docGroup").as("g"))
-      .groupBy($"field").agg(max($"g").as("maxFan"), avg($"g").as("avgFan"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val shaViol = allDocs.filter(!$"shaOk").count()
-    val nDocs = allDocs.count()
+    // ---- metrics (one job over the dictionary-grain aggregate) ----
+    val perField = allBlocks.groupBy($"field", $"term")
+      .agg(countDistinct($"docGroup").as("g"), sum($"n").as("p"),
+        count(lit(1)).as("bl"), sum(length($"bytes")).as("bc"))
+      .groupBy($"field").agg(max($"g").as("maxFan"), avg($"g").as("avgFan"),
+        sum($"p").as("postings"), sum($"bl").as("blocks"), sum($"bc").as("bytes"))
+      .collect().map(r => r.getString(0) -> r).toMap
     params.fields.map { f =>
-      val pb = allBlocks.filter($"field" === f)
-        .agg(coalesce(sum($"n"), lit(0L)), count(lit(1)),
-          coalesce(sum(length($"bytes")), lit(0L))).collect()(0)
-      (f, nDocs, pb.getLong(0), pb.getLong(1), pb.getLong(2),
+      val r = perField.get(f)
+      (f, nDocs,
+        r.map(_.getAs[Long]("postings")).getOrElse(0L),
+        r.map(_.getAs[Long]("blocks")).getOrElse(0L),
+        r.map(_.getAs[Long]("bytes")).getOrElse(0L),
         bytesRaw.value.longValue(),
-        fanIn.get(f).map(_._1).getOrElse(0L),
-        fanIn.get(f).map(_._2).getOrElse(0.0), shaViol)
+        r.map(_.getAs[Long]("maxFan")).getOrElse(0L),
+        r.map(_.getAs[Double]("avgFan")).getOrElse(0.0), shaViol)
     }.toDF("field", "docs", "postingsEmitted", "blocks", "bytesCompressed",
         "bytesRawEstimate", "maxMergeFanIn", "avgMergeFanIn", "shaViolations")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.metrics)

@@ -1,0 +1,238 @@
+package graft.pipeline
+
+import graft.core.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-pipeline parity operators (SURVEY §2.2/§2.3): the reference's
+  * Rust/Python text-processing stages re-expressed as Catalyst column
+  * expressions (codegen'd; UDF-free wherever the semantics allow).
+  * Citations are file:line into /root/reference/.
+  */
+object TextPipeline {
+
+  // -------------------------------------------------------------- cleaning
+
+  /** T1 clean_text (rust_core_processor/src/cleaner.rs:61-94): strip noise
+    * words, URLs, emails, HTML entities, unicode escapes; collapse repeated
+    * sentence punctuation and whitespace. Pure regexp_replace chain. */
+  def cleanText(c: Column): Column = {
+    val noUrls = regexp_replace(c, "https?://\\S+|www\\.\\S+", " ")
+    val noMail = regexp_replace(noUrls, "\\S+@\\S+\\.\\S+", " ")
+    val noEnt = regexp_replace(noMail, "&[a-zA-Z#0-9]+;", " ")
+    val noEsc = regexp_replace(noEnt, "\\\\u[0-9a-fA-F]{4}", " ")
+    val noVte = regexp_replace(noEsc, "\\b(vte|edit|citation needed)\\b", " ")
+    val dots = regexp_replace(noVte, "[.!?]{3,}", "...")
+    trim(regexp_replace(dots, "\\s+", " "))
+  }
+
+  /** T2 clean_description (cleaner.rs:97-124): clean + truncate <=300 chars
+    * at the last sentence end, else last space, with ellipsis. */
+  def cleanDescription(c: Column): Column = {
+    val cleaned = cleanText(c)
+    val cut = substring(cleaned, 1, 300)
+    val lastDot = instrLast(cut, ".")
+    when(length(cleaned) <= 300, cleaned)
+      .otherwise(
+        when(lastDot > 50, concat(substring(cut, 1, 300).substr(lit(1), lastDot), lit("..")))
+          .otherwise(concat(
+            cut.substr(lit(1), greatest(instrLast(cut, " ") - 1, lit(1))),
+            lit("..."))))
+  }
+
+  /** Position of the last occurrence of `needle` in `haystack` (1-based, 0
+    * if absent) — length-based arithmetic, no UDF. */
+  def instrLast(haystack: Column, needle: String): Column = {
+    val parts = split(haystack, java.util.regex.Pattern.quote(needle), -1)
+    when(size(parts) <= 1, lit(0))
+      .otherwise(length(haystack) -
+        length(element_at(parts, -1)) - needle.length + 1)
+  }
+
+  /** T3 normalize_date (cleaner.rs:344-450): try a cascade of formats, emit
+    * UTC `yyyy-MM-dd'T'HH:mm:ss'Z'` or NULL (unparseable dates DROPPED). */
+  def normalizeDate(c: Column): Column = {
+    // NOTE: the reference also tries RFC-2822 ("EEE, dd MMM ...") — Spark 3+
+    // datetime patterns reject day-of-week parsing, so that arm is dropped.
+    val formats = Seq(
+      "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss'Z'",
+      "yyyy-MM-dd HH:mm:ss",
+      "yyyy/MM/dd HH:mm:ss", "MM/dd/yyyy hh:mm a", "yyyy-MM-dd",
+      "yyyy/MM/dd", "MM/dd/yyyy", "dd MMM yyyy", "MMMM d, yyyy")
+    val ts = coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+  }
+
+  // -------------------------------------------------------------- filters
+
+  /** S4 row validation gate (data_pipeline/file_reader.py:134-180): valid
+    * http(s) url longer than 10 chars and non-empty content. */
+  def validRow(url: Column, content: Column): Column =
+    url.isNotNull && url.rlike("^https?://") && length(url) > 10 &&
+      content.isNotNull && length(content) > 0
+
+  /** F5 chunk min-length filter (lib.rs:162-164). */
+  def chunkLongEnough(c: Column): Column = length(trim(c)) >= 25
+
+  /** F6 chunk meaningfulness (optimized.rs:303-337): >=20 chars, >=3 words,
+    * alpha chars >= len/5, json-ish chars <= len/3, >=1 common word. */
+  def chunkMeaningful(c: Column): Column = {
+    val len = length(c)
+    val words = size(split(trim(c), "\\s+"))
+    val alpha = length(regexp_replace(c, "[^a-zA-Z]", ""))
+    val jsonish = length(regexp_replace(c, "[^{}\\[\\]:,\"]", ""))
+    val common = c.rlike("(?i)\\b(the|and|for|are|with|this|that|from|have|was|you)\\b")
+    len >= 20 && words >= 3 && alpha >= len / 5 && jsonish <= len / 3 && common
+  }
+
+  /** F9 query validation (backend/utils/helpers.py:117-132): non-empty,
+    * <=500 chars, >=1 alphanumeric; strip disallowed characters. Driver-side
+    * (scala) — queries are scalars, not columns. */
+  def validateQuery(q: String): Option[String] = {
+    if (q == null) return None
+    val cleaned = q.replaceAll("[^\\w\\s\\-.?!]", "").trim
+    if (cleaned.isEmpty || cleaned.length > 500 || !cleaned.exists(_.isLetterOrDigit)) None
+    else Some(cleaned)
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  /** T12 sentence chunker (cleaner.rs:127-200): split on sentence ends,
+    * accumulate up to maxChars per chunk, emit chunks w/ index via
+    * posexplode; word-count fallback for unpunctuated text. Returns
+    * (id, chunk_index, text_chunk, word_count) — the DocumentChunk shape
+    * (hybrid_processor.py:70-83). */
+  def sentenceChunks(df: DataFrame, id: String, text: String,
+      maxChars: Int = 2500, minChars: Int = 50): DataFrame = {
+    val chunkArr = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        val sentences = s.split("(?<=[.!?])\\s+").filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        val cur = new StringBuilder
+        def flush(): Unit = {
+          if (cur.length >= minChars) out += cur.toString.trim
+          cur.clear()
+        }
+        val parts =
+          if (sentences.length <= 1 && s.length > maxChars)
+            s.split("\\s+").grouped(400).map(_.mkString(" ")).toArray
+          else sentences
+        parts.foreach { sent =>
+          if (cur.length + sent.length + 1 > maxChars) flush()
+          if (cur.nonEmpty) cur.append(' ')
+          cur.append(sent)
+        }
+        flush()
+        if (out.isEmpty && s.trim.length >= minChars) Array(s.trim) else out.toArray
+      }
+    }
+    df.select(col(id), posexplode(chunkArr(col(text))).as(Seq("chunk_index", "text_chunk")))
+      .withColumn("word_count", size(split(col("text_chunk"), "\\s+")))
+      .withColumn("chunk_id", concat(col(id), lit("_chunk_"), col("chunk_index")))
+  }
+
+  /** T13 chunk<->heading relevance (optimized.rs:339-368): a heading is
+    * relevant if its words intersect the chunk's first-20 long words; <=3. */
+  def relevantHeadings(chunk: Column, headings: Column): Column = {
+    val first20 = slice(filter(Analyzer.tokensCol(chunk), t => length(t) > 3), 1, 20)
+    slice(filter(headings, h =>
+      size(array_intersect(Analyzer.tokensCol(h), first20)) > 0), 1, 3)
+  }
+
+  // ---------------------------------------------------------- metadata-ish
+
+  /** T16 content-type classifier (metadata_extractor.rs:216-273): keyword
+    * rules -> faq/product/video/recipe/review/blog/article. */
+  def contentType(title: Column, text: Column): Column = {
+    val t = lower(concat_ws(" ", title, substring(text, 1, 500)))
+    when(t.rlike("\\bfaq|frequently asked"), "faq")
+      .when(t.rlike("\\bbuy|price|add to cart|product"), "product")
+      .when(t.rlike("\\bwatch|video|episode"), "video")
+      .when(t.rlike("\\brecipe|ingredients"), "recipe")
+      .when(t.rlike("\\breview|rating|stars"), "review")
+      .when(t.rlike("\\bblog|posted by|comments"), "blog")
+      .otherwise("article")
+  }
+
+  /** T17 content categories (metadata_extractor.rs:464-574 reduced):
+    * token-set intersection with category keyword lists, top-3 by hits. */
+  val CategoryKeywords: Map[String, Seq[String]] = Map(
+    "technology" -> Seq("software", "spark", "data", "code", "api", "query",
+      "database", "python", "javascript", "react", "hash", "merge"),
+    "science" -> Seq("research", "study", "theory", "experiment", "physics"),
+    "business" -> Seq("market", "customer", "revenue", "price", "sales"),
+    "education" -> Seq("tutorial", "learn", "course", "guide", "basics"))
+
+  def categories(text: Column): Column = {
+    val toks = array_distinct(Analyzer.tokensCol(text))
+    val scored = CategoryKeywords.toSeq.sortBy(_._1).map { case (cat, kws) =>
+      struct(size(array_intersect(toks,
+        array(kws.map(lit): _*))).as("hits"), lit(cat).as("cat"))
+    }
+    // sort by (hits desc, cat asc), keep top-3 with hits>0
+    val arr = array_sort(array(scored: _*),
+      (a, b) => when(a.getField("hits") > b.getField("hits"), -1)
+        .when(a.getField("hits") < b.getField("hits"), 1)
+        .when(a.getField("cat") < b.getField("cat"), -1)
+        .when(a.getField("cat") > b.getField("cat"), 1).otherwise(0))
+    slice(filter(arr, x => x.getField("hits") > 0), 1, 3).getField("cat")
+  }
+
+  /** T19 domain extraction (common/domain_ranker.py:123-139): host of the
+    * url, lowercased, www-stripped. */
+  def domainOf(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^https?://([^/:?#]+)", 1)), "^www\\.", "")
+
+  /** T18 sha256 document id (hybrid_processor.py:171-172) — deterministic
+    * variant (no wallclock): doc_ + sha256[:12] + _ + dl. */
+  def documentId(content: Column, dl: Column): Column =
+    concat(lit("doc_"), substring(sha2(content, 256), 1, 12), lit("_"), dl)
+
+  /** T21 highlight/preview window (helpers.py:141-163): excerpt around the
+    * first query-term hit, [-100, +300] with ellipses. */
+  def highlight(text: Column, term: Column): Column = {
+    val pos = instr(lower(text), lower(term))
+    val start = greatest(pos - 100, lit(1))
+    when(pos === 0, substring(text, 1, 300))
+      .otherwise(concat(
+        when(start > 1, lit("...")).otherwise(lit("")),
+        substring(text, start.cast("int"), lit(400)),
+        lit("...")))
+  }
+
+  /** T23 semantic metrics (optimized.rs:460-488): word/sentence/paragraph
+    * counts, reading time, avg sentence length, content density. */
+  def semanticMetrics(df: DataFrame, id: String, text: String): DataFrame = {
+    val words = size(filter(split(col(text), "\\s+"), w => length(w) > 2))
+    val sentences = greatest(size(split(col(text), "\\.")) - 1, lit(0))
+    val paragraphs = greatest(size(split(col(text), "\n")), lit(1))
+    df.select(col(id),
+      words.cast("long").as("word_count"),
+      sentences.cast("long").as("sentence_count"),
+      paragraphs.cast("long").as("paragraph_count"),
+      round(words.cast("double") / 200.0, 6).as("reading_time_min"),
+      round(words.cast("double") / greatest(sentences, lit(1)), 6).as("avg_sentence_len"),
+      round(length(regexp_replace(col(text), "\\s", "")).cast("double") /
+        greatest(length(col(text)), lit(1)), 6).as("content_density"))
+  }
+
+  /** T9/T10 keyword extraction (freq variant, cleaner.rs:309-341): words
+    * len>3 alphabetic non-stop, count >= 2, top-k by (count desc, word asc). */
+  val StopWords: Seq[String] = Seq("the", "and", "for", "are", "with", "this",
+    "that", "from", "have", "was", "you", "not", "but", "all", "can", "her",
+    "his", "one", "our", "out", "day", "get", "has", "him", "how", "man",
+    "new", "now", "old", "see", "two", "way", "who")
+
+  def topKeywords(df: DataFrame, id: String, text: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id), explode(Analyzer.tokensCol(col(text))).as("w"))
+      .filter(length(col("w")) > 3 && col("w").rlike("^[a-z]+$") &&
+        !col("w").isin(StopWords: _*))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val win = Window.partitionBy(col(id)).orderBy(col("cnt").desc, col("w").asc)
+    toks.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= k)
+      .select(col(id), col("w").as("keyword"), col("cnt"), col("rnk"))
+  }
+}

@@ -19,13 +19,31 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
     spark.read.parquet(layout.stats).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
 
-  /** (field, term) -> df. Predicate-pushed scan of the dictionary. */
+  /** Optional query-service mode: pin postings/docs in executor memory and
+    * the dictionary on the driver, so a search runs as ONE Spark action
+    * with no dictionary job (the resident-index posture of the reference's
+    * OpenSearch node). Off by default — a 10^12-file dictionary belongs in
+    * the predicate-pushed scan path, not driver memory. */
+  @volatile private var hotDict: Map[(String, String), Long] = null
+  def warm(): this.type = {
+    postings.cache().count()
+    docs.cache().count()
+    hotDict = dictionary.select("field", "term", "df").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    this
+  }
+
+  /** (field, term) -> df. Hot map if warmed, else a predicate-pushed scan. */
   def lookup(fields: Seq[String], terms: Seq[String]): Map[(String, String), Long] = {
     if (terms.isEmpty) return Map.empty
-    dictionary
-      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
-      .select("field", "term", "df").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hd = hotDict
+    if (hd != null)
+      (for (f <- fields; t <- terms; d <- hd.get((f, t))) yield (f, t) -> d).toMap
+    else
+      dictionary
+        .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+        .select("field", "term", "df").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
   }
 }
 
@@ -64,33 +82,40 @@ object QueryEngine {
     // top-m by (score desc, docId asc): TakeOrderedAndProject — no full sort
     val top = cand.orderBy($"score".desc, $"docId".asc).limit(m)
 
-    // broadcast the tiny top-m side into the big docs table (R10 shape)
+    // broadcast the tiny top-m side into the big docs table (R10 shape),
+    // then pull the <= m survivors to the driver: the composite sort,
+    // diversity pass, and rank assignment are O(m) driver work — doing them
+    // here makes a whole search a single Spark action instead of a chain of
+    // window-exchange jobs.
     val joined = index.docs
       .join(broadcast(top), Seq("docId"))
       .select($"docId", $"score", $"repo", $"path", $"lang",
         $"qualityScore", $"repoScore")
+      .as[(Long, Double, String, String, String, Double, Double)]
+      .collect()
 
-    val composite = Seq($"score".desc, $"qualityScore".desc,
-      $"repoScore".desc, $"docId".asc)
-
+    // R8 composite sort
+    val composite = joined.sortBy { case (docId, score, _, _, _, q, rs) =>
+      (-score, -q, -rs, docId)
+    }
+    // R9 two-pass greedy diversity (opensearch_service.py:111-143)
     val page =
-      if (!opts.diversity) {
-        joined.orderBy(composite: _*).limit(opts.k)
-          .withColumn("rank", row_number().over(Window.orderBy(composite: _*)))
-      } else {
-        // R9 two-pass greedy == window formulation (SURVEY R9): pass 0 =
-        // first `cap` hits per repo in composite order; pass 1 backfills,
-        // both passes keep composite order.
+      if (!opts.diversity) composite.take(opts.k)
+      else {
         val cap = math.max(1, opts.k / 3)
-        val byRepo = Window.partitionBy($"repo").orderBy(composite: _*)
-        val passOrder = Seq($"pass".asc) ++ composite
-        joined
-          .withColumn("pass", when(row_number().over(byRepo) <= cap, 0).otherwise(1))
-          .orderBy(passOrder: _*).limit(opts.k)
-          .withColumn("rank", row_number().over(Window.orderBy(passOrder: _*)))
+        val counts = scala.collection.mutable.Map[String, Int]()
+        val pass0 = scala.collection.mutable.ArrayBuffer[(Long, Double, String, String, String, Double, Double)]()
+        val pass1 = scala.collection.mutable.ArrayBuffer[(Long, Double, String, String, String, Double, Double)]()
+        composite.foreach { h =>
+          val c = counts.getOrElse(h._3, 0)
+          if (c < cap) { counts(h._3) = c + 1; pass0 += h } else pass1 += h
+        }
+        (pass0 ++ pass1).take(opts.k).toArray
       }
-    page.select($"rank", $"docId", $"score", $"repo", $"path", $"lang",
-      $"qualityScore", $"repoScore")
+    page.zipWithIndex.map { case ((docId, score, repo, path, lang, q, rs), i) =>
+      (i + 1, docId, score, repo, path, lang, q, rs)
+    }.toSeq.toDF("rank", "docId", "score", "repo", "path", "lang",
+      "qualityScore", "repoScore")
   }
 
   /** Fallback query (R6 shape): path^2.0 + content, plus a path-substring

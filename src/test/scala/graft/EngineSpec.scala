@@ -26,7 +26,7 @@ class EngineSpec extends AnyFunSuite {
   val nDocs = 1200L
 
   lazy val index: SearchIndex = {
-    val corpus = CorpusGen.generate(spark, nDocs, seed = 7L, partitions = 5).toDF()
+    val corpus = CorpusGen.generateDF(spark, nDocs, seed = 7L, partitions = 5)
     IndexBuilder.build(spark, corpus, dir,
       IndexBuilder.Params(blockSize = 64, docGroupSize = 256L,
         fields = Seq("content", "path")))
@@ -38,8 +38,7 @@ class EngineSpec extends AnyFunSuite {
       .select("docId", "repo", "path", "lang", "qualityScore", "repoScore")
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getString(2), r.getDouble(4), r.getDouble(5))).toMap
-    val corpus = IndexBuilder.withDocId(
-      CorpusGen.generate(spark, nDocs, seed = 7L, partitions = 5).toDF())
+    val corpus = CorpusGen.generateDF(spark, nDocs, seed = 7L, partitions = 5)
     val docs = corpus.select("docId", "content", "path").collect().map { r =>
       val id = r.getLong(0)
       val (repo, path, q, rs) = meta(id)
@@ -71,8 +70,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("dictionary df/totalTf match a direct recount") {
     import spark.implicits._
-    val corpus = IndexBuilder.withDocId(
-      CorpusGen.generate(spark, nDocs, seed = 7L, partitions = 5).toDF())
+    val corpus = CorpusGen.generateDF(spark, nDocs, seed = 7L, partitions = 5)
     val direct = corpus
       .select($"docId", explode(graft.core.Analyzer.tokensCol($"content")).as("term"))
       .groupBy($"term")
@@ -130,7 +128,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("same results regardless of input partitioning (local[2]-vs-local[8] proxy)") {
     val dir2 = "/tmp/graft-test/engine-index-p13"
-    val corpus13 = CorpusGen.generate(spark, nDocs, seed = 7L, partitions = 13).toDF()
+    val corpus13 = CorpusGen.generateDF(spark, nDocs, seed = 7L, partitions = 13)
       .repartition(13)
     IndexBuilder.build(spark, corpus13, dir2,
       IndexBuilder.Params(blockSize = 64, docGroupSize = 256L,

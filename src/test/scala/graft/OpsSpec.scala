@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "der hund und die katze ist das haus und der baum")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical normalized text flagged, first wins") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getInt(3))).toMap
+    assert(r(0L) == (2L, 0)) // group of 2, keeper
+    assert(r(1L) == (2L, 1)) // dup
+    assert(r(2L) == (1L, 0))
+    assert(r(3L) == (1L, 0))
+  }
+
+  test("minhash: identical docs share signatures; LSH pairs find the dup") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toSeq).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: identical fingerprints for dups, hamming pairs detect near-dups") {
+    val fps = Dedup.simhash(docs, "doc_id", "text", bits = 20)
+    val m = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == m(1L))
+    val pairs = Dedup.simhashPairs(fps, "doc_id", maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard: near-dups above threshold, unrelated docs absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private lazy val emb = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 2),
+    (4L, Seq(0.8f, 0.2f, 0.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnBrute: correct neighbor order by cosine") {
+    val r = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 3)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    // cos with vec 0: v1=0.9939, v4=0.9701, v2=0, v3=-1
+    assert(r == Seq((1, 1L), (2, 4L), (3, 2L)))
+  }
+
+  test("annBucketed searches only the query's sign bucket") {
+    val r = Similarity.annBucketed(emb, "vec_id", "embedding", 0L, 10, bits = 2)
+      .collect().map(x => x.getLong(1)).toSet
+    // bucket of v0 = signs of dims 1..2 = (+,0) -> only v1, v4 share (+,+/0)?
+    // dim>0 strictly: v0 bucket = 1 (dim0 pos), v1/v4 = 3 (both pos), v2 = 2, v3 = 0
+    assert(!r.contains(3L)) // opposite sign never in bucket
+  }
+
+  test("cosineNearDupPairs finds the near-identical pair") {
+    val r = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.99, bits = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((0L, 1L)))
+  }
+
+  test("centroids: per-label per-dim averages") {
+    val r = Similarity.centroids(emb, "label", "embedding").collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r((0, 0)) - (1.0 + 0.9 + 0.8) / 3) < 1e-6)
+    assert(r((1, 1)) == 1.0)
+    assert(r((2, 0)) == -1.0)
+  }
+
+  test("langId: marker-word heuristic picks the dominant language") {
+    val r = TextAnalysis.langId(spark, docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "en")
+    assert(r(4L) == "de")
+  }
+
+  test("quality + token counts are consistent") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(q(0L) == 9)
+    val tc = TextAnalysis.tokenCounts(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getLong(3))).toMap
+    assert(tc(0L)._1 == 9 && tc(0L)._2 == 9)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val d2 = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d2, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(2L))
+    assert(fp(0L) != fp(1L))
+  }
+
+  test("multimodal: typed batch decode == column-expression stub (parity)") {
+    val viaPartitions = Multimodal.decodeAll(spark, docs, "doc_id", "text")
+      .collect().map(m => m.id -> (m.byte_len, m.width, m.height, m.n_frames)).toMap
+    val viaColumns = Multimodal.metaColumns(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(viaPartitions == viaColumns)
+    // feature stub is deterministic
+    val f1 = Multimodal.decodeAll(spark, docs, "doc_id", "text").collect()
+      .find(_.id == 0L).get.feature
+    val f2 = Multimodal.stubDecode(0L,
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")).feature
+    assert(f1 == f2)
+  }
+}

@@ -1,0 +1,186 @@
+package graft
+
+import graft.io.CrawlSource
+import graft.pipeline.{Insights, QueryIntel, Scoring, TextPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("clean_text strips urls/emails/entities and collapses whitespace (T1)") {
+    val df = Seq("See https://ex.org/a and mail a@b.com &amp; \\u00e9  now!!!!")
+      .toDF("t").select(TextPipeline.cleanText($"t").as("c"))
+    assert(df.collect()(0).getString(0) == "See and mail now...")
+  }
+
+  test("clean_description truncates at sentence boundary <=300 (T2)") {
+    val long = ("A sentence here. " * 30).trim
+    val r = Seq(long).toDF("t")
+      .select(TextPipeline.cleanDescription($"t").as("d")).collect()(0).getString(0)
+    assert(r.length <= 302 && r.endsWith(".."))
+    val short = "Short text."
+    assert(Seq(short).toDF("t").select(TextPipeline.cleanDescription($"t"))
+      .collect()(0).getString(0) == short)
+  }
+
+  test("normalize_date cascade emits UTC Z format or null (T3)") {
+    val r = Seq("2025-08-01T12:30:00Z", "08/15/2025", "March 5, 2024", "garbage")
+      .toDF("d").select(TextPipeline.normalizeDate($"d").as("n"))
+      .collect().map(x => Option(x.getString(0)))
+    assert(r(0).contains("2025-08-01T12:30:00Z"))
+    assert(r(1).contains("2025-08-15T00:00:00Z"))
+    assert(r(2).contains("2024-03-05T00:00:00Z"))
+    assert(r(3).isEmpty) // unparseable dates are dropped (cleaner.rs:448)
+  }
+
+  test("sentence chunker respects max size + emits indexed chunks (T12)") {
+    val text = (1 to 100).map(i => s"Sentence number $i is right here.").mkString(" ")
+    val chunks = TextPipeline.sentenceChunks(
+      Seq(("d1", text)).toDF("id", "text"), "id", "text", maxChars = 300)
+      .collect()
+    assert(chunks.length > 5)
+    assert(chunks.forall(_.getAs[String]("text_chunk").length <= 300))
+    assert(chunks.map(_.getAs[Int]("chunk_index")).toSeq == chunks.indices.toSeq)
+    assert(chunks.head.getAs[String]("chunk_id") == "d1_chunk_0")
+    // lossless-ish: all sentences present across chunks
+    val joined = chunks.map(_.getAs[String]("text_chunk")).mkString(" ")
+    assert((1 to 100).forall(i => joined.contains(s"number $i ") || joined.contains(s"number $i is")))
+  }
+
+  test("chunk filters: min length (F5) + meaningfulness (F6)") {
+    val rows = Seq("tiny", "x" * 30,
+      "the data pipeline processes this batch with care and attention",
+      "{\"k\":1,\"v\":2,\"w\":[1,2,3],\"z\":{\"a\":4}}").toDF("c")
+    val kept = rows.filter(TextPipeline.chunkLongEnough($"c") &&
+      TextPipeline.chunkMeaningful($"c")).collect().map(_.getString(0))
+    assert(kept.length == 1 && kept(0).startsWith("the data pipeline"))
+  }
+
+  test("query validation (F9)") {
+    assert(TextPipeline.validateQuery("  python <script> tutorial! ")
+      .contains("python script tutorial!"))
+    assert(TextPipeline.validateQuery("").isEmpty)
+    assert(TextPipeline.validateQuery("@#$%").isEmpty)
+    assert(TextPipeline.validateQuery("x" * 600).isEmpty)
+  }
+
+  test("domain extraction + domain score + boost (T19/Q1/Q11)") {
+    val df = Seq("https://www.Wikipedia.org/wiki/Spark", "https://foo.edu/x",
+      "http://shop.biz/y").toDF("url")
+      .select(TextPipeline.domainOf($"url").as("d"))
+      .withColumn("score", Scoring.domainScore($"d"))
+      .withColumn("boost", Scoring.domainBoost($"d", lit("tutorial")))
+    val r = df.collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+    assert(r(0) == ("wikipedia.org", 0.9, 2.0 * 1.4))
+    assert(r(1)._2 == 0.8 && r(1)._3 == 1.6 * 1.4)
+    assert(r(2)._2 == 0.35)
+  }
+
+  test("content quality composite is in a sane band and monotone-ish (Q2)") {
+    val good = ("This tutorial explains the api. " * 50) + "```code``` def f(): return 1"
+    val bad = "click here buy now"
+    val df = Seq(good, bad).toDF("t")
+      .withColumn("wc", size(split($"t", "\\s+")))
+      .select(Scoring.contentQualityScore($"t", lit("A Practical Guide to Spark"),
+        lit("a description that is long enough to earn the bonus points here"),
+        $"wc", lit(3), lit(true), lit(true)).as("q"))
+    val Array(g, b) = df.collect().map(_.getDouble(0))
+    assert(g > b, s"good=$g bad=$b")
+    assert(g > 0.3 && g < 2.0)
+  }
+
+  test("insights aggregations (A1-A9 shapes)") {
+    val results = Seq(
+      ("a.org", 0.9, "article", "great spark data tutorial from 2024", "2024-01-05"),
+      ("a.org", 0.6, "blog", "older spark data notes from 2015", "2015-03-01"),
+      ("b.com", 0.4, "article", "spark data again 2025 fresh", "2025-06-01")
+    ).toDF("domain", "quality", "content_type", "text", "dt")
+      .withColumn("dt", to_date($"dt"))
+    val ins = Insights.searchInsights(results, "domain", "quality", "content_type")
+      .collect()(0)
+    assert(ins.getAs[Long]("total_results") == 3)
+    assert(ins.getAs[Long]("unique_domains") == 2)
+    assert(ins.getAs[Double]("avg_quality") == 0.63)
+    val qd = Insights.qualityDistribution(results, "quality").collect()(0)
+    assert((qd.getLong(0), qd.getLong(1), qd.getLong(2)) == ((1L, 1L, 1L)))
+    val dr = Insights.dateRange(results, "dt").collect()(0)
+    assert(dr.getString(0) == "2015-03-01" && dr.getString(1) == "2025-06-01")
+    val fresh = Insights.freshness(results, "domain", "text").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(fresh("b.com") == "very_recent")
+    val tc = Insights.topicClusters(results, "text").collect().map(_.getString(0))
+    assert(tc.contains("spark") && tc.contains("data"))
+  }
+
+  test("query intelligence (X1-X7)") {
+    assert(QueryIntel.expansions("python tutorial") ==
+      Seq("python3", "py", "cpython"))
+    assert(QueryIntel.enhancedQuery("python").contains("OR"))
+    assert(QueryIntel.classifyIntent("how to learn spark basics").intent == "learning")
+    assert(QueryIntel.classifyIntent("spark vs flink difference").intent == "comparison")
+    assert(QueryIntel.classifyIntent("weather").intent == "informational")
+    val e = QueryIntel.extractEntities("advanced PYTHON \"exact phrase\" SQL api")
+    assert(e.technologies.contains("python") && e.technologies.contains("sql"))
+    assert(e.levels == Seq("advanced"))
+    assert(e.quoted == Seq("exact phrase"))
+    assert(e.acronyms.contains("PYTHON") && e.acronyms.contains("SQL"))
+    assert(QueryIntel.correct("pyton tutorail") == "python tutorial")
+    val summary = QueryIntel.templateSummary("spark", 42L,
+      Seq("a.org" -> 5L, "b.com" -> 3L), Some("Spark Guide"))
+    assert(summary.contains("42") && summary.contains("a.org"))
+    // X6 rerank: relevance pulls matching hit up
+    val hits = Seq(("low quality but exact spark match", 0.1),
+      ("high quality unrelated", 0.9))
+    val reranked = QueryIntel.rerank[(String, Double)](hits, "spark match",
+      _._2, _._1)
+    assert(reranked.head._1.contains("spark"))
+  }
+
+  test("crawl JSONL -> documents + chunks -> tagged shards -> upsert (S1-S6, §3.2)") {
+    val dir = "/tmp/graft-test/crawl"
+    graft.index.IndexBuilder.deleteDir(spark, dir)
+    val lines = Seq(
+      """{"url":"https://www.example.org/a","content":"<html><style>x{}</style><body><p>Spark tutorial. This guide explains the data api. It has many sentences. Enough content to chunk and score properly here.</p></body></html>","domain":null,"timestamp":"2025-08-01T00:00:00Z","http_status_code":200}""",
+      """{"url":"https://docs.foo.edu/b","content":"<body>Machine learning basics. A long document about data. More text to pass minimum thresholds for chunks.</body>","timestamp":"bad-date"}""",
+      """{"url":"ftp://bad.scheme/x","content":"ignored"}""",
+      """{"url":"https://ok.com/empty","content":""}""",
+      """not even json {{{""")
+    val inPath = s"$dir/in.jsonl"
+    val fs = new java.io.PrintWriter(new java.io.File({
+      new java.io.File(dir).mkdirs(); inPath }))
+    lines.foreach(fs.println); fs.close()
+
+    val crawl = CrawlSource.readCrawl(spark, inPath)
+    assert(crawl.count() == 2) // corrupt + invalid rows gated out (S4)
+
+    val docs = CrawlSource.toDocuments(crawl)
+    val d = docs.collect()
+    assert(d.length == 2)
+    val first = docs.filter($"domain" === "example.org").collect()(0)
+    assert(first.getAs[String]("document_id").startsWith("doc_"))
+    assert(first.getAs[String]("published_date") == "2025-08-01T00:00:00Z")
+    val si = first.getAs[org.apache.spark.sql.Row]("semantic_info")
+    assert(si.getAs[Double]("domain_score") == 0.6) // .org tld
+    assert(!first.getAs[String]("text").contains("<"))
+
+    val chunks = CrawlSource.toChunks(docs)
+    assert(chunks.count() >= 2)
+    assert(chunks.columns.toSeq == Seq("chunk_id", "document_id", "text_chunk",
+      "chunk_index", "word_count"))
+
+    CrawlSource.writeTaggedJsonl(docs, chunks, s"$dir/out")
+    val back = spark.read.json(s"$dir/out/documents")
+    assert(back.count() == 2 &&
+      back.select("type").distinct().collect()(0).getString(0) == "document")
+
+    // S6 upsert: second write with one changed row is idempotent by id
+    CrawlSource.upsertById(spark, s"$dir/docs_table", docs.drop("text"), "document_id")
+    CrawlSource.upsertById(spark, s"$dir/docs_table",
+      docs.drop("text").withColumn("title", lit("UPDATED")), "document_id")
+    val tbl = spark.read.parquet(s"$dir/docs_table")
+    assert(tbl.count() == 2)
+    assert(tbl.filter($"title" === "UPDATED").count() == 2)
+  }
+}

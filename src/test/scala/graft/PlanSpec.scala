@@ -1,0 +1,62 @@
+package graft
+
+import graft.core.CorpusGen
+import graft.index.IndexBuilder
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the things that keep the engine fast at scale
+  * must be visible in the plan, not assumed — predicate pushdown into the
+  * postings/dictionary parquet scans, broadcast doc join, and
+  * TakeOrderedAndProject for global top-k (no full sort). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val index: SearchIndex = {
+    val dir = "/tmp/graft-test/plan-index"
+    val corpus = CorpusGen.generateDF(spark, 400L, seed = 31L, partitions = 3)
+    IndexBuilder.build(spark, corpus, dir,
+      IndexBuilder.Params(blockSize = 64, docGroupSize = 128L))
+    new SearchIndex(spark, dir)
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("postings scan pushes term IN (...) into parquet") {
+    val plan = planOf(QueryEngine.candidates(index, "python tutorial",
+      SearchOpts(wand = false)))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("In(term, [python,tutorial]"),
+      s"term filter not pushed:\n${plan.take(3000)}")
+  }
+
+  test("doc join broadcasts the top-k side (R10 shape)") {
+    import org.apache.spark.sql.functions._
+    val cand = QueryEngine.candidates(index, "python tutorial", SearchOpts())
+    val top = cand.orderBy(col("score").desc, col("docId").asc).limit(30)
+    val joined = index.docs.join(broadcast(top), Seq("docId"))
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"doc join is not broadcast:\n${plan.take(3000)}")
+  }
+
+  test("global top-m uses TakeOrderedAndProject (no full sort)") {
+    import org.apache.spark.sql.functions._
+    val cand = QueryEngine.candidates(index, "python tutorial", SearchOpts())
+    val top = cand.orderBy(col("score").desc, col("docId").asc).limit(30)
+    assert(planOf(top).contains("TakeOrderedAndProject"))
+  }
+
+  test("dictionary lookup scan prunes columns and pushes the term filter") {
+    import org.apache.spark.sql.functions._
+    val df = index.dictionary
+      .filter(col("field") === "content" && col("term").isin("python", "tutorial"))
+      .select("field", "term", "df")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("In(term"))
+    assert(plan.contains("ReadSchema") && !plan.contains("totalTf"),
+      "column pruning failed — totalTf should not be read")
+  }
+}

@@ -19,8 +19,7 @@ class ResumeSpec extends AnyFunSuite {
 
   test("partial build + resume == full build (dictionary, stats, lineage, search)") {
     import spark.implicits._
-    val corpus = IndexBuilder.withDocId(
-      CorpusGen.generate(spark, 600L, seed = 11L, partitions = 4).toDF())
+    val corpus = CorpusGen.generateDF(spark, 600L, seed = 11L, partitions = 4)
     val full = "/tmp/graft-test/resume-full"
     val part = "/tmp/graft-test/resume-part"
 
@@ -66,8 +65,7 @@ class ResumeSpec extends AnyFunSuite {
 
   test("resume on a complete index is a no-op for postings counts") {
     import spark.implicits._
-    val corpus = IndexBuilder.withDocId(
-      CorpusGen.generate(spark, 300L, seed = 13L, partitions = 3).toDF())
+    val corpus = CorpusGen.generateDF(spark, 300L, seed = 13L, partitions = 3)
     val dir = "/tmp/graft-test/resume-noop"
     IndexBuilder.build(spark, corpus, dir, params)
     val before = spark.read.parquet(s"$dir/metrics")
@@ -80,8 +78,7 @@ class ResumeSpec extends AnyFunSuite {
 
   test("sha256 invariant: corrupted content is detected per row and per group") {
     import spark.implicits._
-    val corpus = IndexBuilder.withDocId(
-      CorpusGen.generate(spark, 200L, seed = 17L, partitions = 2).toDF())
+    val corpus = CorpusGen.generateDF(spark, 200L, seed = 17L, partitions = 2)
     // corrupt one row: content changes but carried sha256 does not
     val corrupted = corpus.withColumn("content",
       when($"docId" === corpus.select(min($"docId")).as[Long].collect()(0),

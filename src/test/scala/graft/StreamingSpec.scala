@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.CorpusGen
+import graft.index.IndexBuilder
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import graft.streaming.StreamingIndexer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val params = IndexBuilder.Params(blockSize = 32, docGroupSize = 128L,
+    fields = Seq("content"))
+
+  test("file-source AvailableNow ingest builds a queryable index incrementally") {
+    import spark.implicits._
+    val base = "/tmp/graft-test/stream2"
+    IndexBuilder.deleteDir(spark, base)
+    val input = s"$base/in"
+    val indexDir = s"$base/index"
+    val ckpt = s"$base/ckpt"
+
+    // deterministic docIds from the generator row index (id column)
+    def gen(from: Long, until: Long) = {
+      val n = until - from
+      spark.range(from, until).map(i => (i, CorpusGen.row(23L, i)))
+        .select(col("_1").as("docId"), col("_2.repo").as("repo"),
+          col("_2.path").as("path"), col("_2.commit").as("commit"),
+          col("_2.lang").as("lang"), col("_2.content").as("content"),
+          col("_2.sha256").as("sha256"))
+    }
+
+    // batch 1 on disk -> stream -> index
+    gen(0L, 200L).write.mode("overwrite").parquet(input)
+    val schema = spark.read.parquet(input).schema
+    StreamingIndexer.runAvailableNow(spark, input, schema, indexDir, ckpt, params)
+
+    val idx1 = new SearchIndex(spark, indexDir)
+    val q = "python tutorial"
+    val afterB1 = QueryEngine.search(idx1, q, SearchOpts()).collect().map(_.toSeq).toSeq
+
+    val batchDir1 = s"$base/batch1"
+    IndexBuilder.build(spark, gen(0L, 200L).toDF(), batchDir1, params)
+    val batch1 = QueryEngine.search(new SearchIndex(spark, batchDir1), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    assert(afterB1 == batch1, "stream(b1) != batch(b1)")
+
+    // batch 2 arrives (docGroup-disjoint ids 1000..1199); stream resumes from
+    // its checkpoint and only processes the new files
+    gen(1000L, 1200L).write.mode("append").parquet(input)
+    StreamingIndexer.runAvailableNow(spark, input, schema, indexDir, ckpt, params)
+
+    val idx2 = new SearchIndex(spark, indexDir)
+    val afterB2 = QueryEngine.search(idx2, q, SearchOpts()).collect().map(_.toSeq).toSeq
+    val batchDir2 = s"$base/batch12"
+    IndexBuilder.build(spark,
+      gen(0L, 200L).toDF().unionByName(gen(1000L, 1200L).toDF()), batchDir2, params)
+    val batch12 = QueryEngine.search(new SearchIndex(spark, batchDir2), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    assert(afterB2 == batch12, "stream(b1+b2) != batch(b1 ∪ b2)")
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    import spark.implicits._
+    val base = "/tmp/graft-test/stream-events"
+    IndexBuilder.deleteDir(spark, base)
+    val events = Seq(
+      ("2026-01-01 00:01:30", "click", 1.0),
+      ("2026-01-01 00:02:10", "click", 2.0),
+      ("2026-01-01 00:06:00", "view", 5.0),
+      ("2026-01-01 00:07:30", "click", 3.0)
+    ).toDF("ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    events.write.mode("overwrite").parquet(s"$base/in")
+
+    val stream = spark.readStream.schema(spark.read.parquet(s"$base/in").schema)
+      .parquet(s"$base/in")
+    val agg = StreamingIndexer.windowedEventCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.sql("SELECT event_type, n, total FROM win_out ORDER BY event_type, n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // windows: [00:00,00:05) clicks n=2 total=3; [00:05,00:10) click n=1 t=3, view n=1 t=5
+    assert(out.toSet == Set(("click", 1L, 3.0), ("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
