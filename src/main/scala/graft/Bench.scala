@@ -165,10 +165,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // big enough that parallel compute dominates the fixed job/commit floor
-    val nDocs: Long =
+    val nDocs: Long = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
       if (sfDir.contains("0.001")) 5000L
       else if (sfDir.contains("0.01")) 50000L
       else 200000L
+    }
     val seed = 42L
 
     if (args.nonEmpty) { // child mode: one level, machine-readable line

@@ -119,18 +119,15 @@ object SparkEntry {
         .orderBy(col("df").desc, col("term").asc).limit(20)
     }),
     "q12_postings" -> ((s, d) => {
-      import s.implicits._
+      // decode via the native Catalyst expression (graft.functions) — the
+      // whole decode stays inside the plan, no typed flatMap
+      graft.functions.GraftFunctions.register(s)
       val terms = Seq("spark", "merge", "window", "batch", "query")
-      val idx = docsIndex(s, d)
-      idx.postings.filter(col("term").isin(terms: _*))
-        .select(col("field"), col("term"), col("docGroup").cast("long").as("docGroup"),
-          col("blockIdx"), col("firstDocId"), col("lastDocId"), col("n"),
-          col("sumTf"), col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
-          col("bytes"))
-        .as[BlockRow]
-        .flatMap(b => Codec.decodeBlock(b.firstDocId, b.bytes).iterator
-          .map(p => (b.term, p.docId, p.tf.toLong, p.dl.toLong)))
-        .toDF("term", "doc_id", "tf", "dl")
+      docsIndex(s, d).postings.filter(col("term").isin(terms: _*))
+        .select(col("term"),
+          explode(expr("decode_postings(firstDocId, bytes)")).as("p"))
+        .select(col("term"), col("p.docId").as("doc_id"),
+          col("p.tf").cast("long").as("tf"), col("p.dl").cast("long").as("dl"))
     }),
     "q13_bm25_topk" -> ((s, d) =>
       bm25(s, d, "spark merge join", 10, diversity = false, wand = false)),
@@ -207,7 +204,30 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames")))
+          col("n_frames").cast("long").as("n_frames"))),
+
+    // ---- web-pipeline parity ops (graft.pipeline) ----
+    "q41_domain_extract" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit(".example.org/d/"), col("doc_id")))
+        .withColumn("domain", graft.pipeline.TextPipeline.domainOf(col("url")))
+        .select(col("doc_id"), col("url"), col("domain"),
+          graft.pipeline.Scoring.domainScore(col("domain")).as("domain_score"))
+    }),
+    "q42_corpus_insights" -> ((s, d) => {
+      graft.pipeline.Insights.searchInsights(
+        t(s, d, "documents").withColumn("quality", col("n_chars") / 1000.0),
+        "source", "quality", "lang")
+    }),
+    "q43_keywords" -> ((s, d) =>
+      graft.pipeline.TextPipeline.topKeywords(
+        t(s, d, "documents").filter(col("doc_id") % 20 === 0), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("keyword"), col("cnt"),
+          col("rnk").cast("long").as("rnk"))),
+    "q44_semantic_metrics" -> ((s, d) =>
+      graft.pipeline.TextPipeline.semanticMetrics(
+        t(s, d, "documents"), "doc_id", "text"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -513,6 +533,76 @@ FROM page"""
         CAST($metaSqlWidth AS BIGINT) AS width,
         CAST($metaSqlHeight AS BIGINT) AS height,
         CAST($metaSqlFrames AS BIGINT) AS n_frames
-        FROM documents"""
+        FROM documents""",
+
+    "q41_domain_extract" ->
+      """WITH u AS (
+          SELECT doc_id,
+            'https://www.' || source || '.example.org/d/' || doc_id AS url
+          FROM documents),
+        dm AS (
+          SELECT doc_id, url,
+            regexp_replace(lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)),
+              '^www\.', '') AS domain
+          FROM u)
+        SELECT doc_id, url, domain,
+          CASE WHEN domain = 'wikipedia.org' THEN 0.9
+               WHEN domain = 'github.com' THEN 0.85
+               WHEN domain = 'stackoverflow.com' THEN 0.85
+               WHEN domain = 'arxiv.org' THEN 0.85
+               WHEN domain = 'mozilla.org' THEN 0.8
+               WHEN domain = 'python.org' THEN 0.85
+               WHEN domain = 'medium.com' THEN 0.6
+               WHEN domain = 'reddit.com' THEN 0.55
+               WHEN domain LIKE '%.edu' THEN 0.8
+               WHEN domain LIKE '%.gov' THEN 0.85
+               WHEN domain LIKE '%.org' THEN 0.6
+               WHEN domain LIKE '%.io' THEN 0.55
+               WHEN domain LIKE '%.com' THEN 0.5
+               WHEN domain LIKE '%.net' THEN 0.45
+               WHEN domain LIKE '%.info' THEN 0.4
+               WHEN domain LIKE '%.biz' THEN 0.35
+               ELSE 0.3 END AS domain_score
+        FROM dm""",
+    "q42_corpus_insights" ->
+      """SELECT count(*) AS total_results,
+          count(DISTINCT source) AS unique_domains,
+          count(DISTINCT lang) AS unique_types,
+          round(avg(n_chars / 1000.0), 2) AS avg_quality,
+          round(least(CAST(count(DISTINCT source) + count(DISTINCT lang) AS DOUBLE)
+                / greatest(count(*), 1), 1.0), 6) AS diversity
+        FROM documents""",
+    "q43_keywords" -> {
+      val stops = graft.pipeline.TextPipeline.StopWords
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        cnts AS (
+          SELECT doc_id, w, count(*) AS cnt FROM toks
+          WHERE length(w) > 3 AND regexp_full_match(w, '[a-z]+')
+            AND w NOT IN ($stops)
+          GROUP BY doc_id, w HAVING count(*) >= 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY cnt DESC, w) AS rnk FROM cnts)
+        SELECT doc_id, w AS keyword, cnt, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 5"""
+    },
+    "q44_semantic_metrics" ->
+      """WITH m AS (
+          SELECT doc_id,
+            len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 2)) AS wc,
+            greatest(len(string_split(text, '.')) - 1, 0) AS sc,
+            greatest(len(string_split(text, chr(10))), 1) AS pc,
+            length(regexp_replace(text, '\s', '', 'g')) AS nospace,
+            length(text) AS tlen
+          FROM documents)
+        SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+          CAST(sc AS BIGINT) AS sentence_count,
+          CAST(pc AS BIGINT) AS paragraph_count,
+          round(CAST(wc AS DOUBLE) / 200.0, 6) AS reading_time_min,
+          round(CAST(wc AS DOUBLE) / greatest(sc, 1), 6) AS avg_sentence_len,
+          round(CAST(nospace AS DOUBLE) / greatest(tlen, 1), 6) AS content_density
+        FROM m"""
   )
 }
