@@ -118,6 +118,35 @@ object QueryEngine {
       "qualityScore", "repoScore")
   }
 
+  /** Fuzziness AUTO term expansion (R4 `fuzziness: AUTO`,
+    * opensearch_service.py:209; Lucene AUTO = edit distance 0 for len<3,
+    * 1 for 3-5, 2 for >=6): expand each query term to dictionary terms
+    * within its edit-distance budget. Declarative levenshtein scan with a
+    * length-band prefilter; a 10^12-scale deployment would pre-bucket the
+    * dictionary by (length, prefix) — config-only change, same semantics.
+    * Returns distinct expanded terms (original terms included). */
+  def fuzzyExpand(index: SearchIndex, query: String,
+      fields: Seq[String] = Seq("content")): Seq[String] = {
+    val terms = Analyzer.distinctQueryTerms(query)
+    if (terms.isEmpty) return Seq.empty
+    def maxD(t: String): Int = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+    val cond = terms.map { t =>
+      abs(length(col("term")) - t.length) <= maxD(t) &&
+        levenshtein(col("term"), lit(t)) <= maxD(t)
+    }.reduce(_ || _)
+    val expanded = index.dictionary
+      .filter(col("field").isin(fields: _*)).filter(cond)
+      .select("term").distinct().collect().map(_.getString(0)).toSeq
+    (terms.toSeq ++ expanded).distinct
+  }
+
+  /** Search with fuzzy term expansion — query-shaping, so the core search
+    * semantics (and its rank-identity guarantees) are untouched. */
+  def searchFuzzy(index: SearchIndex, query: String,
+      opts: SearchOpts = SearchOpts()): DataFrame =
+    search(index, fuzzyExpand(index, query, opts.fields.map(_._1)).mkString(" "),
+      opts.copy(phraseBoost = 0.0))
+
   /** Fallback query (R6 shape): path^2.0 + content, plus a path-substring
     * "wildcard" arm at a fixed epsilon score; used when the primary search
     * is empty (opensearch_service.py:241-261). */

@@ -146,6 +146,17 @@ class EngineSpec extends AnyFunSuite {
     assert(fb.count() >= 0) // shape check; relaxed arm unioned with wildcard
   }
 
+  test("fuzzy AUTO expansion recovers misspelled terms (R4 fuzziness)") {
+    val expanded = QueryEngine.fuzzyExpand(index, "pythn tutorail")
+    assert(expanded.contains("python"), s"expanded=$expanded")
+    assert(expanded.contains("tutorial"))
+    val hits = QueryEngine.searchFuzzy(index, "pythn tutorail", SearchOpts())
+    assert(hits.count() > 0)
+    // short terms get edit distance 0 — no expansion
+    val strict = QueryEngine.fuzzyExpand(index, "th")
+    assert(strict == Seq.empty || strict == Seq("th"))
+  }
+
   test("empty query and unknown terms return empty, not error") {
     assert(QueryEngine.search(index, "", SearchOpts()).count() == 0)
     assert(QueryEngine.search(index, "zz qq", SearchOpts()).count() == 0) // <3 chars dropped
