@@ -55,7 +55,8 @@ object Bench {
 
   case class RunResult(buildSec: Double, filesPerSec: Double,
       latencies: Map[String, Double], p50: Double, p95: Double,
-      concurrentQps: Double)
+      concurrentQps: Double, servingP50Ms: Double, servingP95Ms: Double,
+      servingQps: Double)
 
   def runAt(cpus: Int, nDocs: Long, seed: Long): RunResult = {
     val spark = session(cpus)
@@ -110,22 +111,36 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
 
+      // serving mode (in-process, reference posture): same index, same
+      // scoring code, no Spark job per query
+      val li = graft.query.LocalSearcher.load(index)
+      ReferenceQueries.foreach(q => graft.query.LocalSearcher.search(li, q, opts))
+      val servingTimes = (1 to 5).flatMap { _ =>
+        ReferenceQueries.map { q =>
+          val t0 = System.nanoTime()
+          graft.query.LocalSearcher.search(li, q, opts)
+          (System.nanoTime() - t0) / 1e6
+        }
+      }
       val ls = lats.values.toSeq
       RunResult(buildSec, nDocs / buildSec, lats, pct(ls, 0.50), pct(ls, 0.95),
-        batch.size / concurrentSec)
+        batch.size / concurrentSec,
+        pct(servingTimes, 0.50), pct(servingTimes, 0.95),
+        servingTimes.size / (servingTimes.sum / 1000.0))
     } finally spark.stop()
   }
 
   /** Serialize one level's result as a single machine-readable line. */
   private def encode(r: RunResult): String =
-    (Seq(r.buildSec, r.filesPerSec, r.p50, r.p95, r.concurrentQps) ++
+    (Seq(r.buildSec, r.filesPerSec, r.p50, r.p95, r.concurrentQps,
+      r.servingP50Ms, r.servingP95Ms, r.servingQps) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(5).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
-      xs(2), xs(3), xs(4))
+      xs.drop(8).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs(2), xs(3), xs(4), xs(5), xs(6), xs(7))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -194,6 +209,9 @@ object Bench {
         "query_p95_sec_c32" -> high.p95,
         "concurrent_qps_c8" -> low.concurrentQps,
         "concurrent_qps_c32" -> high.concurrentQps,
+        "serving_p50_ms_c32" -> high.servingP50Ms,
+        "serving_p95_ms_c32" -> high.servingP95Ms,
+        "serving_qps_c32" -> high.servingQps,
         "scaling_eff_build_8to32" -> effBuild,
         "scaling_eff_query_8to32" -> effQuery)
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

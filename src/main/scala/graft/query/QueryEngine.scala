@@ -212,7 +212,7 @@ object QueryEngine {
   }
 
   /** Phrase tfNorm arm shared by all paths (fixed op order). */
-  private def phraseScore(pTerms: Array[String], byTerm: Map[String, Array[Int]],
+  private[query] def phraseScore(pTerms: Array[String], byTerm: Map[String, Array[Int]],
       dl: Int, avgdl: Double, pb: Double, phraseIdf: Double, p: BM25.Params): Double = {
     if (!pTerms.forall(byTerm.contains)) return 0.0
     val occ = countPhrase(pTerms, byTerm)
@@ -328,7 +328,7 @@ object QueryEngine {
 
   /** Bounded heap keeping top-m by (score desc, docId asc); head of the
     * underlying priority queue is the current WORST kept entry. */
-  private final class BoundedTopK(m: Int) {
+  private[query] final class BoundedTopK(m: Int) {
     // "worse" = smaller score, then larger docId; pq is a max-heap by this
     // ordering, so pq.head is the worst kept entry.
     private val worseFirst = Ordering.by[(Long, Double), (Double, Long)] {
@@ -404,7 +404,7 @@ object QueryEngine {
     }
   }
 
-  private def scoreGroup(groupBlocks: Seq[BlockRow],
+  private[query] def scoreGroup(groupBlocks: Seq[BlockRow],
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       p: BM25.Params, heap: BoundedTopK, phraseOn: Boolean,
       pTerms: Array[String], pf: String, pb: Double, phraseIdf: Double,
