@@ -56,7 +56,7 @@ object Bench {
   case class RunResult(buildSec: Double, filesPerSec: Double,
       latencies: Map[String, Double], p50: Double, p95: Double,
       concurrentQps: Double, servingP50Ms: Double, servingP95Ms: Double,
-      servingQps: Double)
+      servingQps: Double, servingParQps: Double)
 
   def runAt(cpus: Int, nDocs: Long, seed: Long): RunResult = {
     val spark = session(cpus)
@@ -122,25 +122,40 @@ object Bench {
           (System.nanoTime() - t0) / 1e6
         }
       }
+      // parallel serving throughput on `cpus` threads — the query-side
+      // N-vs-4N scaling probe (pure compute; no driver job scheduling)
+      val pool = _root_.java.util.concurrent.Executors.newFixedThreadPool(cpus)
+      val parBatch = Seq.fill(40)(ReferenceQueries).flatten
+      val pq0 = System.nanoTime()
+      val futures = parBatch.map { q =>
+        pool.submit(new Runnable {
+          def run(): Unit = { graft.query.LocalSearcher.search(li, q, opts); () }
+        })
+      }
+      futures.foreach(_.get())
+      val servingParSec = (System.nanoTime() - pq0) / 1e9
+      pool.shutdown()
+
       val ls = lats.values.toSeq
       RunResult(buildSec, nDocs / buildSec, lats, pct(ls, 0.50), pct(ls, 0.95),
         batch.size / concurrentSec,
         pct(servingTimes, 0.50), pct(servingTimes, 0.95),
-        servingTimes.size / (servingTimes.sum / 1000.0))
+        servingTimes.size / (servingTimes.sum / 1000.0),
+        parBatch.size / servingParSec)
     } finally spark.stop()
   }
 
   /** Serialize one level's result as a single machine-readable line. */
   private def encode(r: RunResult): String =
     (Seq(r.buildSec, r.filesPerSec, r.p50, r.p95, r.concurrentQps,
-      r.servingP50Ms, r.servingP95Ms, r.servingQps) ++
+      r.servingP50Ms, r.servingP95Ms, r.servingQps, r.servingParQps) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(8).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
-      xs(2), xs(3), xs(4), xs(5), xs(6), xs(7))
+      xs.drop(9).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -195,7 +210,7 @@ object Bench {
     val low = runIsolated(8, nDocs, seed)    // N
     val high = runIsolated(32, nDocs, seed)  // 4N
     val effBuild = (low.buildSec / high.buildSec) / 4.0
-    val effQuery = (high.concurrentQps / low.concurrentQps) / 4.0
+    val effQuery = (high.servingParQps / low.servingParQps) / 4.0
 
     val entries: Seq[(String, Double)] =
       high.latencies.toSeq.sortBy(_._1) ++ Seq(
@@ -212,6 +227,8 @@ object Bench {
         "serving_p50_ms_c32" -> high.servingP50Ms,
         "serving_p95_ms_c32" -> high.servingP95Ms,
         "serving_qps_c32" -> high.servingQps,
+        "serving_par_qps_c8" -> low.servingParQps,
+        "serving_par_qps_c32" -> high.servingParQps,
         "scaling_eff_build_8to32" -> effBuild,
         "scaling_eff_query_8to32" -> effQuery)
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
