@@ -152,6 +152,31 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("occurrences"))
     }),
 
+    "q18_phrase_engine" -> ((s, d) => {
+      // phrase occurrences computed from the INDEX's positional postings
+      // (decode -> adjacency), cross-checked against a raw text scan oracle
+      import s.implicits._
+      val idx = docsIndex(s, d)
+      val pTerms = Array("merge", "join")
+      idx.postings.filter(col("term").isin(pTerms.toSeq: _*))
+        .select(col("field"), col("term"), col("docGroup").cast("long").as("docGroup"),
+          col("blockIdx"), col("firstDocId"), col("lastDocId"), col("n"),
+          col("sumTf"), col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
+          col("bytes"))
+        .as[BlockRow]
+        .flatMap(b => Codec.decodeBlock(b.firstDocId, b.bytes).iterator
+          .map(p => (p.docId, b.term, p.positions.toSeq)))
+        .groupByKey(_._1)
+        .mapGroups { (docId, it) =>
+          val byTerm = it.map(x => x._2 -> x._3.toArray).toMap
+          val occ = if (pTerms.forall(byTerm.contains))
+            graft.query.QueryEngine.countPhrase(pTerms, byTerm) else 0
+          (docId, occ.toLong)
+        }
+        .filter(_._2 > 0)
+        .toDF("doc_id", "occurrences")
+    }),
+
     // ---- dedup / text analysis (training-data ops) ----
     "q20_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
@@ -364,6 +389,12 @@ FROM page"""
         s"SELECT * FROM (${bm25Sql(q.split(" ").toSeq, 5, diversity = false, qid = Some(i))})"
       }.mkString("\nUNION ALL\n"),
     "q17_bm25_diversity" -> bm25Sql(Seq("spark", "merge", "join"), 9, diversity = true),
+    "q18_phrase_engine" ->
+      s"""WITH $ToksPos,
+        nxt AS (SELECT doc_id, term,
+                lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM ptoks)
+        SELECT doc_id, count(*) AS occurrences FROM nxt
+        WHERE term = 'merge' AND nxt = 'join' GROUP BY doc_id""",
     "q16_phrase_count" ->
       s"""WITH $ToksPos,
         nxt AS (SELECT doc_id, term,
