@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF-style approximate nearest neighbour: k-means coarse quantizer +
+  * probe-the-nearest-cells search — the classic inverted-file ANN layout,
+  * here with Spark MLlib KMeans as the trainer and the cell assignment as a
+  * partition key.
+  *
+  * Scale posture: `fit` is a one-time (or periodic) training job; `assign`
+  * adds a `cell` column that becomes the table's partition column, so a
+  * query reads only `nProbe` cells — a partition-pruned scan at 100 TB.
+  * Complements [[Similarity.annBucketed]] (sign-LSH: no training, weaker
+  * recall) — IVF gives tunable recall via nProbe.
+  */
+object AnnIvf {
+
+  case class Model(centroids: Array[(Int, Array[Float])])
+
+  private def toVec = udf { (xs: Seq[Float]) =>
+    Vectors.dense(xs.map(_.toDouble).toArray)
+  }
+
+  /** Train the coarse quantizer (deterministic seed). */
+  def fit(spark: SparkSession, emb: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L): Model = {
+    val feats = emb.select(toVec(col(vecCol)).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = km.fit(feats)
+    Model(model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray.map(_.toFloat) })
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Assign every vector to its nearest centroid (adds `cell`). */
+  def assign(emb: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val centroids = model.centroids
+    val cellOf = udf { (xs: Seq[Float]) =>
+      val v = xs.toArray
+      centroids.minBy { case (_, c) => -cosine(v, c) }._1
+    }
+    emb.withColumn("cell", cellOf(col(vecCol)))
+  }
+
+  /** Top-k by cosine among the nProbe cells nearest to the query vector.
+    * Returns (rank, id, cos, cell). */
+  def search(assigned: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, model: Model, nProbe: Int = 2): DataFrame = {
+    val probeCells = model.centroids
+      .sortBy { case (_, c) => -cosine(query, c) }.take(nProbe).map(_._1).toSeq
+    val q = query
+    val cosUdf = udf { (xs: Seq[Float]) => cosine(xs.toArray, q) }
+    assigned
+      .filter(col("cell").isin(probeCells: _*)) // partition-pruned at scale
+      .withColumn("cos", round(cosUdf(col(vecCol)), 6))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("cos"), col("cell"))
+  }
+}
