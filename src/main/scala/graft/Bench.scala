@@ -56,7 +56,9 @@ object Bench {
   case class RunResult(buildSec: Double, filesPerSec: Double,
       latencies: Map[String, Double], p50: Double, p95: Double,
       concurrentQps: Double, servingP50Ms: Double, servingP95Ms: Double,
-      servingQps: Double, servingParQps: Double)
+      servingQps: Double, servingParQps: Double,
+      postingsEmitted: Double = 0, bytesCompressed: Double = 0,
+      bytesRaw: Double = 0, maxMergeFanIn: Double = 0)
 
   def runAt(cpus: Int, nDocs: Long, seed: Long): RunResult = {
     val spark = session(cpus)
@@ -136,26 +138,35 @@ object Bench {
       val servingParSec = (System.nanoTime() - pq0) / 1e9
       pool.shutdown()
 
+      // north-rule build metrics (postings emitted, bytes compressed,
+      // merge fan-in) from the metrics table
+      val met = spark.read.parquet(s"$dir/metrics").collect()(0)
       val ls = lats.values.toSeq
       RunResult(buildSec, nDocs / buildSec, lats, pct(ls, 0.50), pct(ls, 0.95),
         batch.size / concurrentSec,
         pct(servingTimes, 0.50), pct(servingTimes, 0.95),
         servingTimes.size / (servingTimes.sum / 1000.0),
-        parBatch.size / servingParSec)
+        parBatch.size / servingParSec,
+        met.getAs[Long]("postingsEmitted").toDouble,
+        met.getAs[Long]("bytesCompressed").toDouble,
+        met.getAs[Long]("bytesRawEstimate").toDouble,
+        met.getAs[Long]("maxMergeFanIn").toDouble)
     } finally spark.stop()
   }
 
   /** Serialize one level's result as a single machine-readable line. */
   private def encode(r: RunResult): String =
     (Seq(r.buildSec, r.filesPerSec, r.p50, r.p95, r.concurrentQps,
-      r.servingP50Ms, r.servingP95Ms, r.servingQps, r.servingParQps) ++
+      r.servingP50Ms, r.servingP95Ms, r.servingQps, r.servingParQps,
+      r.postingsEmitted, r.bytesCompressed, r.bytesRaw, r.maxMergeFanIn) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(9).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
-      xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8))
+      xs.drop(13).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
+      xs(9), xs(10), xs(11), xs(12))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -229,6 +240,11 @@ object Bench {
         "serving_qps_c32" -> high.servingQps,
         "serving_par_qps_c8" -> low.servingParQps,
         "serving_par_qps_c32" -> high.servingParQps,
+        "postings_emitted" -> high.postingsEmitted,
+        "bytes_compressed" -> high.bytesCompressed,
+        "bytes_raw_estimate" -> high.bytesRaw,
+        "compression_ratio" -> (if (high.bytesCompressed > 0) high.bytesRaw / high.bytesCompressed else 0.0),
+        "max_merge_fan_in" -> high.maxMergeFanIn,
         "scaling_eff_build_8to32" -> effBuild,
         "scaling_eff_query_8to32" -> effQuery)
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
