@@ -224,6 +224,49 @@ object TextPipeline {
     "his", "one", "our", "out", "day", "get", "has", "him", "how", "man",
     "new", "now", "old", "see", "two", "way", "who")
 
+  /** T9 RAKE keyword extraction (hybrid_processor.py:252-283): split the
+    * token stream into candidate phrases at stopwords, score each word
+    * w as degree(w)/freq(w) + 1 (= (degree+freq)/freq), phrase score =
+    * sum of its words' scores, keep phrases of words len>2, top-n by
+    * (score desc, phrase asc). Pure JVM helper + a DataFrame wrapper. */
+  def rakeKeywords(text: String, topN: Int = 10,
+      stop: Set[String] = StopWords.toSet): Seq[(String, Double)] = {
+    val tokens = graft.core.Analyzer.tokenize(if (text == null) "" else text)
+    // candidate phrases: maximal stopword-free runs of words len>2
+    val phrases = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val cur = scala.collection.mutable.ArrayBuffer[String]()
+    tokens.foreach { t =>
+      if (stop.contains(t) || t.length <= 2) {
+        if (cur.nonEmpty) { phrases += cur.toSeq; cur.clear() }
+      } else cur += t
+    }
+    if (cur.nonEmpty) phrases += cur.toSeq
+    if (phrases.isEmpty) return Seq.empty
+    val freq = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val degree = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    phrases.foreach { p =>
+      p.foreach { w => freq(w) += 1; degree(w) += p.length - 1 }
+    }
+    def wordScore(w: String): Double = (degree(w) + freq(w)).toDouble / freq(w)
+    phrases.map(p => p.mkString(" ") -> p.map(wordScore).sum)
+      .groupBy(_._1).view.mapValues(_.head._2).toSeq
+      .sortBy { case (p, s) => (-s, p) }
+      .take(topN)
+  }
+
+  /** DataFrame form of T9: (id, keyword, score, rnk). */
+  def rakeKeywordsDF(df: DataFrame, id: String, text: String,
+      topN: Int = 10): DataFrame = {
+    val rake = udf { (s: String) =>
+      rakeKeywords(s, topN).map { case (p, sc) =>
+        (p, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    df.select(col(id), posexplode(rake(col(text))).as(Seq("i", "kw")))
+      .select(col(id), col("kw._1").as("keyword"), col("kw._2").as("score"),
+        (col("i") + 1).cast("long").as("rnk"))
+  }
+
   def topKeywords(df: DataFrame, id: String, text: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(id), explode(Analyzer.tokensCol(col(text))).as("w"))

@@ -138,6 +138,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(reranked.head._1.contains("spark"))
   }
 
+  test("RAKE keywords: multi-word phrases outscore single frequent words (T9)") {
+    val text = "machine learning pipeline for the data and machine learning " +
+      "pipeline was the data but small"
+    val kws = TextPipeline.rakeKeywords(text, 5)
+    assert(kws.head._1 == "machine learning pipeline", s"got $kws")
+    assert(kws.head._2 > kws.find(_._1 == "data").map(_._2).getOrElse(0.0))
+    // degree/freq math: each of machine/learning/pipeline has freq 2,
+    // degree 4 -> word score 3.0 -> phrase score 9.0
+    assert(kws.head._2 == 9.0)
+    val df = TextPipeline.rakeKeywordsDF(
+      Seq((1L, text)).toDF("id", "text"), "id", "text", 3).collect()
+    assert(df.head.getAs[String]("keyword") == "machine learning pipeline")
+    assert(df.head.getAs[Long]("rnk") == 1L)
+  }
+
+  test("chunk<->heading relevance picks intersecting headings, <=3 (T13)") {
+    val r = Seq(("spark merge join strategies for large tables explained here",
+        Seq("Merge Join Basics", "Unrelated Heading", "Spark Internals",
+          "Join Performance", "Another Spark Topic")))
+      .toDF("chunk", "headings")
+      .select(TextPipeline.relevantHeadings($"chunk", $"headings").as("rel"))
+      .collect()(0).getSeq[String](0)
+    assert(r.contains("Merge Join Basics") && !r.contains("Unrelated Heading"))
+    assert(r.length <= 3)
+  }
+
+  test("highlight excerpts around the first term hit with ellipses (T21)") {
+    val long = ("x " * 200) + "the needle term appears here " + ("y " * 200)
+    val h = Seq(long).toDF("t")
+      .select(TextPipeline.highlight($"t", lit("needle")).as("h"))
+      .collect()(0).getString(0)
+    assert(h.contains("needle") && h.startsWith("...") && h.endsWith("..."))
+    assert(h.length < 420)
+    // no hit -> leading excerpt
+    val miss = Seq("short text without the word").toDF("t")
+      .select(TextPipeline.highlight($"t", lit("zzz")).as("h"))
+      .collect()(0).getString(0)
+    assert(miss.startsWith("short text"))
+  }
+
   test("crawl JSONL -> documents + chunks -> tagged shards -> upsert (S1-S6, §3.2)") {
     val dir = "/tmp/graft-test/crawl"
     graft.index.IndexBuilder.deleteDir(spark, dir)
