@@ -444,7 +444,7 @@ FROM page"""
             sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN w ELSE -w END) AS s
           FROM hs, generate_series(0, 19) AS g(j) GROUP BY doc_id, j)
         SELECT doc_id,
-          sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS simhash
+          CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsums GROUP BY doc_id"""
     },
     "q24_ngram_pairs" ->

@@ -1,14 +1,17 @@
 package graft.index
 
 import graft.core.{Analyzer, Posting}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
+import graft.io.{ParquetTableIO, TableIO}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stored posting-block row. Blocks of a (field,term) are globally ordered
-  * by (docGroup, blockIdx); docIds strictly increase within and across a
-  * term's blocks. maxTf/minTf/minDl/maxDl let the query side compute exact
-  * block-max WAND bounds from CURRENT corpus stats, so block metadata stays
-  * valid across incremental appends. */
+  * by firstDocId (docGroup ranges are docId ranges, and segments within a
+  * group hold disjoint, monotone docId ranges); docIds strictly increase
+  * within and across a term's blocks under that order. maxTf/minTf/minDl/
+  * maxDl let the query side compute exact block-max WAND bounds from
+  * CURRENT corpus stats, so block metadata stays valid across incremental
+  * appends. */
 case class BlockRow(
     field: String, term: String, docGroup: Long, blockIdx: Int,
     firstDocId: Long, lastDocId: Long, n: Int, sumTf: Long,
@@ -20,8 +23,7 @@ case class BlockRow(
   * O(blockSize), never a whole posting list. */
 final class BlockBuildIterator(
     rows: Iterator[(String, String, Long, Long, Int, Int)],
-    blockSize: Int,
-    rawBytes: Long => Unit) extends Iterator[BlockRow] {
+    blockSize: Int) extends Iterator[BlockRow] {
 
   private val buf = rows.buffered
   private val out = scala.collection.mutable.Queue[BlockRow]()
@@ -48,7 +50,6 @@ final class BlockBuildIterator(
 
     def flushBlock(): Unit = if (block.nonEmpty) {
       val bytes = Codec.encodeBlock(block.head.docId, block.toSeq)
-      rawBytes(Codec.rawSizeEstimate(block.toSeq))
       out.enqueue(BlockRow(f, t, g, blockIdx, block.head.docId, block.last.docId,
         block.size, block.iterator.map(_.tf.toLong).sum,
         block.iterator.map(_.tf).max, block.iterator.map(_.tf).min,
@@ -79,18 +80,21 @@ final class BlockBuildIterator(
 
 /** Distributed inverted-index build (SURVEY.md §7.2, north_rule).
   *
-  * Layout under `dir` (parquet with the Iceberg-target schemas; the Iceberg
-  * catalog binding is config-only in this sandbox):
+  * Layout under `dir` (written through [[graft.io.TableIO]]; parquet in the
+  * sandbox, an Iceberg catalog in a real deployment — same four ops):
   *
   *   docs/        docId, repo, path, lang, dl_<field>..., sha256, shaOk,
-  *                qualityScore, repoScore          [partitioned by docGroup]
-  *   postings/    BlockRow                          [partitioned by docGroup]
-  *   dictionary/  field, term, df, totalTf
+  *                qualityScore, repoScore  [partitioned by docGroup, segment]
+  *   postings/    BlockRow                 [partitioned by docGroup, segment]
+  *   dictionary/  field, term, df, totalTf, nBlocks, maxTf, minDl
+  *                                         [partitioned by tlen = len(term)]
   *   stats/       field, n, avgdl
-  *   lineage/     partitionId(=docGroup), inputSnapshot, status, docs,
-  *                postingsEmitted, bytesCompressed, mergeFanIn, shaOk, updatedAt
+  *   lineage/     partitionId(=docGroup), status, docs, maxDocId,
+  *                postingsEmitted, bytesCompressed, mergeFanIn, shaOk,
+  *                updatedAt               [partitioned by inputSnapshot]
   *   metrics/     field, docs, postingsEmitted, blocks, bytesCompressed,
-  *                bytesRawEstimate, maxMergeFanIn, avgMergeFanIn, shaViolations
+  *                bytesRawEstimate, maxMergeFanIn, avgMergeFanIn,
+  *                shaViolations, docIdCollisions
   *
   * Scale design:
   *   - Hot-term skew (code stop-words `the`, `if`, `return`... — cf. the
@@ -100,11 +104,26 @@ final class BlockBuildIterator(
   *     range salt — bounding every group by docGroupSize regardless of df.
   *     Query-side merge fan-in per term = #docGroups it spans (metric).
   *   - groupBy(term, docGroup, docId) gets map-side partial aggregation;
-  *     no collect of data rows anywhere (lineage metadata rows only).
-  *   - Writes partitioned by docGroup with dynamic partition overwrite:
-  *     rebuilding a group after a mid-build failure is idempotent — the
-  *     lineage-driven resume is exactly-once w.r.t. postings (no
-  *     double-counted tf).
+  *     NOTHING is ever collected to the driver — not data rows, and not
+  *     lineage either (a 10^12-file corpus has ~10^8 lineage rows; resume
+  *     filters pending rows via a JOIN against the lineage table).
+  *   - Incremental appends are SEGMENT-grained: every build/resume writes
+  *     its rows under (docGroup, segment=inputSnapshot) partitions with
+  *     dynamic partition overwrite, so a crash-retry of the same input
+  *     batch overwrites exactly its own partitions — exactly-once w.r.t.
+  *     postings (no double-counted tf) without rewriting committed groups.
+  *     A micro-batch that straddles a docGroup boundary therefore APPENDS a
+  *     new segment to the partially-filled group instead of silently
+  *     dropping rows (lineage records per-group maxDocId; a row is pending
+  *     iff docId > committed max for its group).
+  *
+  * Contract for incremental/streaming builds: docIds are dense and
+  * monotone (assigned once at ingest), and each distinct input batch uses a
+  * distinct `inputSnapshot` that is STABLE across retries of that batch
+  * (StreamingIndexer derives it from the micro-batch epoch). Hash-derived
+  * ids (withDocId fallback) are for static one-shot builds only: resume
+  * then skips whole done groups, and the build fails fast on docId
+  * collisions (metrics.docIdCollisions audit).
   *
   * Per-row invariant (BASELINE.json input_hint): when the input has a
   * `sha256` column the build recomputes sha2(content,256) and records
@@ -121,7 +140,8 @@ object IndexBuilder {
       fields: Seq[String] = Seq("content"),
       inputSnapshot: String = "snapshot-0",
       qualityScoreCol: () => Column = () => IndexBuilder.defaultQuality,
-      repoScoreCol: () => Column = () => IndexBuilder.defaultRepoScore)
+      repoScoreCol: () => Column = () => IndexBuilder.defaultRepoScore,
+      io: TableIO = ParquetTableIO)
 
   /** Reference-style length step function (rust scorer.rs:138-147 shape). */
   def defaultQuality: Column = {
@@ -159,22 +179,44 @@ object IndexBuilder {
   /** Full build: wipes `dir` first. */
   def build(spark: SparkSession, corpus: DataFrame, dir: String,
       params: Params = Params()): Unit = {
-    deleteDir(spark, dir)
+    params.io.drop(spark, dir)
     buildGroups(spark, corpus, dir, params, resume = false)
   }
 
-  /** Resume: anti-join lineage (status=done), build only pending docGroups;
-    * dictionary/stats/metrics re-derived from the FULL tables so a resumed
-    * build is indistinguishable from a from-scratch build. */
+  /** Resume/append: builds only rows not yet committed per lineage (see
+    * class doc — row-level `docId > committed maxDocId` for dense ids,
+    * whole-done-group skip for hash ids); dictionary/stats/metrics are
+    * re-derived from the FULL tables so a resumed build is
+    * indistinguishable from a from-scratch build of the union. */
   def resume(spark: SparkSession, corpus: DataFrame, dir: String,
       params: Params = Params()): Unit =
     buildGroups(spark, corpus, dir, params, resume = true)
+
+  /** Rows of `corpus` not yet committed according to `lineage` — a pure
+    * join, planable at any lineage size (no driver collect, no isin):
+    * dense ids keep rows above their group's committed maxDocId (so a batch
+    * straddling a group boundary appends instead of being dropped); hash
+    * ids anti-join whole done groups. */
+  private[graft] def pendingRows(corpus: DataFrame, lineage: DataFrame,
+      denseIds: Boolean): DataFrame = {
+    val committed = lineage.filter(col("status") === "done")
+      .groupBy(col("partitionId"))
+      .agg(max(col("maxDocId")).as("_committedMax"))
+      .withColumnRenamed("partitionId", "docGroup")
+    if (denseIds)
+      corpus.join(committed, Seq("docGroup"), "left_outer")
+        .filter(col("_committedMax").isNull || col("docId") > col("_committedMax"))
+        .drop("_committedMax")
+    else
+      corpus.join(committed.select(col("docGroup")), Seq("docGroup"), "left_anti")
+  }
 
   private def buildGroups(spark: SparkSession, corpus0: DataFrame, dir: String,
       params: Params, resume: Boolean): Unit = {
     import spark.implicits._
     val layout = Layout(dir)
-    val sc = spark.sparkContext
+    val io = params.io
+    val segment = params.inputSnapshot
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val hadDenseIds = corpus0.columns.contains("docId")
@@ -191,15 +233,10 @@ object IndexBuilder {
         withIds.withColumn("docGroup", pmod($"docId", lit(nGroups)))
       }
 
-    val doneGroups: Set[Long] =
-      if (resume && fileExists(spark, layout.lineage))
-        spark.read.parquet(layout.lineage).filter($"status" === "done")
-          .select($"partitionId").as[Long].collect().toSet
-      else Set.empty
-
     val pendingCorpus =
-      if (doneGroups.isEmpty) corpus
-      else corpus.filter(!$"docGroup".isin(doneGroups.toSeq: _*))
+      if (resume && io.exists(spark, layout.lineage))
+        pendingRows(corpus, io.read(spark, layout.lineage), hadDenseIds)
+      else corpus
 
     // ---- docs table ----
     val hasSrcSha = corpus.columns.contains("sha256")
@@ -218,11 +255,12 @@ object IndexBuilder {
     val metaCols = Seq("docId", "repo", "path", "lang") ++
       params.fields.map(f => s"dl_$f") ++
       Seq("sha256_computed", "shaOk", "qualityScore", "repoScore", "docGroup")
-    docsDf.select(metaCols.map(col): _*)
-      .withColumnRenamed("sha256_computed", "sha256")
-      .repartition(col("docGroup")).sortWithinPartitions("docId")
-      .write.mode(SaveMode.Overwrite).partitionBy("docGroup")
-      .parquet(layout.docs)
+    io.overwritePartitions(
+      docsDf.select(metaCols.map(col): _*)
+        .withColumnRenamed("sha256_computed", "sha256")
+        .withColumn("segment", lit(segment))
+        .repartition(col("docGroup")).sortWithinPartitions("docId"),
+      layout.docs, Seq("docGroup", "segment"))
 
     // ---- postings ----
     val tokens = params.fields.map { f =>
@@ -230,8 +268,6 @@ object IndexBuilder {
           posexplode(col(s"tokens_$f")).as(Seq("pos", "term")))
         .withColumn("field", lit(f))
     }.reduce(_ unionByName _)
-
-    val bytesRaw = sc.longAccumulator("bytesRawEstimate")
 
     // ONE shuffle: hash-partition token occurrences by (field, term,
     // docGroup) — bounded by docGroupSize regardless of term df — then an
@@ -244,103 +280,107 @@ object IndexBuilder {
       .repartition($"field", $"term", $"docGroup")
       .sortWithinPartitions($"field", $"term", $"docGroup", $"docId", $"pos")
       .as[(String, String, Long, Long, Int, Int)]
-      .mapPartitions { it =>
-        new BlockBuildIterator(it, blockSize, raw => bytesRaw.add(raw))
-      }
+      .mapPartitions(it => new BlockBuildIterator(it, blockSize))
 
-    blocks.toDF()
-      .repartition(col("docGroup"))
-      .sortWithinPartitions("field", "term", "blockIdx")
-      .write.mode(SaveMode.Overwrite).partitionBy("docGroup")
-      .parquet(layout.postings)
+    io.overwritePartitions(
+      blocks.toDF()
+        .withColumn("segment", lit(segment))
+        .repartition(col("docGroup"))
+        .sortWithinPartitions("field", "term", "firstDocId", "blockIdx"),
+      layout.postings, Seq("docGroup", "segment"))
 
     // ---- dictionary + stats from FULL tables ----
-    val allBlocks = spark.read.parquet(layout.postings)
-    allBlocks.groupBy($"field", $"term")
-      .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"))
-      .repartition(8, $"term").sortWithinPartitions("field", "term")
-      .write.mode(SaveMode.Overwrite).parquet(layout.dictionary)
+    // Per-term block count + maxTf/minDl give the query side term-level
+    // upper bounds and seek metadata without touching postings; tlen
+    // partitioning makes fuzzy expansion a partition-pruned probe
+    // (QueryEngine.fuzzyExpand) instead of a full-dictionary scan.
+    val allBlocks = io.read(spark, layout.postings)
+    io.overwritePartitions(
+      allBlocks.groupBy($"field", $"term")
+        .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
+          count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
+          min($"minDl").as("minDl"))
+        .withColumn("tlen", length($"term"))
+        .repartition($"tlen").sortWithinPartitions("field", "term"),
+      layout.dictionary, Seq("tlen"))
 
-    // one job: N, per-field avgdl, sha violations
-    val allDocs = spark.read.parquet(layout.docs)
+    // one job: N, per-field avgdl, sha violations, docId collision audit
+    val allDocs = io.read(spark, layout.docs)
     val docAggCols = count(lit(1)).as("n") +:
+      countDistinct($"docId").as("nDistinct") +:
       sum(when(!$"shaOk", 1L).otherwise(0L)).as("shaViol") +:
       params.fields.map(f => avg(col(s"dl_$f")).as(s"avgdl_$f"))
     val docAgg = allDocs.agg(docAggCols.head, docAggCols.tail: _*).collect()(0)
     val nDocs = docAgg.getAs[Long]("n")
+    val nDistinct = docAgg.getAs[Long]("nDistinct")
     val shaViol = docAgg.getAs[Long]("shaViol")
-    params.fields.map { f =>
-      (f, nDocs, docAgg.getAs[Double](s"avgdl_$f"))
-    }.toDF("field", "n", "avgdl")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.stats)
+    // docId collisions silently merge different docs' postings (wrong
+    // tf/dl) — at 10^12 rows a 64-bit hash id EXPECTS collisions, so this
+    // is a hard failure, not a warning.
+    if (nDistinct != nDocs)
+      throw new IllegalStateException(
+        s"docId collision: $nDocs doc rows but $nDistinct distinct docIds — " +
+          "supply dense ingest-assigned docIds (hash-derived ids collide at scale)")
+    io.overwritePartitions(
+      params.fields.map { f =>
+        (f, nDocs, docAgg.getAs[Double](s"avgdl_$f"))
+      }.toDF("field", "n", "avgdl").coalesce(1),
+      layout.stats, Nil)
 
-    // ---- lineage ----
-    val newLineage = spark.read.parquet(layout.postings)
-      .filter(if (doneGroups.isEmpty) lit(true) else !$"docGroup".isin(doneGroups.toSeq: _*))
+    // ---- lineage: per-(docGroup, segment) rows, partitioned by snapshot —
+    // dynamic overwrite of THIS snapshot's partition only. Append-only at
+    // the table level; committed state is an aggregation, never driver
+    // memory. ----
+    val segPostings = allBlocks.filter($"segment" === segment)
+    val segDocs = allDocs.filter($"segment" === segment)
+    val newLineage = segPostings
       .groupBy($"docGroup")
       .agg(sum($"n").as("postingsEmitted"),
         sum(length($"bytes")).as("bytesCompressed"),
         countDistinct($"term").as("mergeFanIn"))
       .join(
-        allDocs.filter(if (doneGroups.isEmpty) lit(true) else !$"docGroup".isin(doneGroups.toSeq: _*))
-          .groupBy($"docGroup")
-          .agg(count(lit(1)).as("docs"), min($"shaOk").as("shaOk")),
+        segDocs.groupBy($"docGroup")
+          .agg(count(lit(1)).as("docs"), max($"docId").as("maxDocId"),
+            min($"shaOk").as("shaOk")),
         Seq("docGroup"))
-      .select($"docGroup".as("partitionId"),
-        lit(params.inputSnapshot).as("inputSnapshot"), lit("done").as("status"),
-        $"docs", $"postingsEmitted", $"bytesCompressed", $"mergeFanIn",
-        $"shaOk", current_timestamp().as("updatedAt"))
+      .select($"docGroup".as("partitionId"), lit("done").as("status"),
+        $"docs", $"maxDocId", $"postingsEmitted", $"bytesCompressed",
+        $"mergeFanIn", $"shaOk", current_timestamp().as("updatedAt"),
+        lit(segment).as("inputSnapshot"))
+    io.overwritePartitions(newLineage, layout.lineage, Seq("inputSnapshot"))
 
-    // lineage is docGroup-granular metadata (small even at 10^12 files:
-    // one row per ~docGroupSize docs) — safe to merge on the driver.
-    val schema = newLineage.schema
-    val mergedRows: Seq[Row] =
-      (if (resume && fileExists(spark, layout.lineage))
-        spark.read.parquet(layout.lineage)
-          .filter(!$"partitionId".isin(Seq(-1L): _*) && $"status" === "done")
-          .collect().toSeq
-      else Seq.empty[Row]) ++ newLineage.collect().toSeq
-    spark.createDataFrame(sc.parallelize(mergedRows, 1), schema)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage_next")
-    replaceDir(spark, s"$dir/lineage_next", layout.lineage)
-
-    // ---- metrics (one job over the dictionary-grain aggregate) ----
+    // ---- metrics (one job over the dictionary-grain aggregate; raw-size
+    // estimate derived exactly from block metadata: every occurrence is one
+    // position, so raw = 16B/posting + 4B/occurrence = 16*n + 4*sumTf) ----
     val perField = allBlocks.groupBy($"field", $"term")
       .agg(countDistinct($"docGroup").as("g"), sum($"n").as("p"),
-        count(lit(1)).as("bl"), sum(length($"bytes")).as("bc"))
+        count(lit(1)).as("bl"), sum(length($"bytes")).as("bc"),
+        sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw"))
       .groupBy($"field").agg(max($"g").as("maxFan"), avg($"g").as("avgFan"),
-        sum($"p").as("postings"), sum($"bl").as("blocks"), sum($"bc").as("bytes"))
+        sum($"p").as("postings"), sum($"bl").as("blocks"), sum($"bc").as("bytes"),
+        sum($"raw").as("raw"))
       .collect().map(r => r.getString(0) -> r).toMap
-    params.fields.map { f =>
+    val rows = params.fields.map { f =>
       val r = perField.get(f)
       (f, nDocs,
         r.map(_.getAs[Long]("postings")).getOrElse(0L),
         r.map(_.getAs[Long]("blocks")).getOrElse(0L),
         r.map(_.getAs[Long]("bytes")).getOrElse(0L),
-        bytesRaw.value.longValue(),
+        r.map(_.getAs[Long]("raw")).getOrElse(0L),
         r.map(_.getAs[Long]("maxFan")).getOrElse(0L),
-        r.map(_.getAs[Double]("avgFan")).getOrElse(0.0), shaViol)
-    }.toDF("field", "docs", "postingsEmitted", "blocks", "bytesCompressed",
-        "bytesRawEstimate", "maxMergeFanIn", "avgMergeFanIn", "shaViolations")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.metrics)
+        r.map(_.getAs[Double]("avgFan")).getOrElse(0.0), shaViol,
+        nDocs - nDistinct)
+    }
+    io.overwritePartitions(
+      rows.toDF("field", "docs", "postingsEmitted", "blocks", "bytesCompressed",
+        "bytesRawEstimate", "maxMergeFanIn", "avgMergeFanIn", "shaViolations",
+        "docIdCollisions").coalesce(1),
+      layout.metrics, Nil)
   }
 
-  def fileExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  def fileExists(spark: SparkSession, path: String): Boolean =
+    ParquetTableIO.exists(spark, path)
 
-  def deleteDir(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
-
-  private def replaceDir(spark: SparkSession, src: String, dst: String): Unit = {
-    val s = new org.apache.hadoop.fs.Path(src)
-    val d = new org.apache.hadoop.fs.Path(dst)
-    val fs = s.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(d)) fs.delete(d, true)
-    fs.rename(s, d)
-  }
+  def deleteDir(spark: SparkSession, path: String): Unit =
+    ParquetTableIO.drop(spark, path)
 }

@@ -33,7 +33,9 @@ object LocalSearcher {
     val dict: Map[(String, String), Long] =
       index.dictionary.select("field", "term", "df").collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    /** (field, term) -> blocks ordered by (docGroup, blockIdx). */
+    /** (field, term) -> blocks ordered by (docGroup, firstDocId) — segments
+      * of an incrementally-grown group restart blockIdx, so firstDocId is
+      * the global within-group order. */
     val blocks: Map[(String, String), Array[BlockRow]] = {
       import org.apache.spark.sql.functions.col
       val sp = index.spark
@@ -46,7 +48,7 @@ object LocalSearcher {
         .as[BlockRow]
         .collect()
         .groupBy(b => (b.field, b.term))
-        .view.mapValues(_.sortBy(b => (b.docGroup, b.blockIdx))).toMap
+        .view.mapValues(_.sortBy(b => (b.docGroup, b.firstDocId, b.blockIdx))).toMap
     }
     val docs: Map[Long, DocMeta] =
       index.docs.select("docId", "repo", "path", "lang", "qualityScore", "repoScore")

@@ -19,6 +19,12 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
     spark.read.parquet(layout.stats).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
 
+  /** Posting blocks decoded across queries on this index — executor-side
+    * decodes (WAND and exhaustive) report back through the accumulator, so
+    * the bench can show the WAND decode drop as a measured counter. */
+  val blocksDecoded: org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.blocksDecoded")
+
   /** Optional query-service mode: pin postings/docs in executor memory and
     * the dictionary on the driver, so a search runs as ONE Spark action
     * with no dictionary job (the resident-index posture of the reference's
@@ -59,7 +65,10 @@ object QueryEngine {
       fields: Seq[(String, Double)] = Seq("content" -> 1.0),
       phraseBoost: Double = 0.0,   // reference uses 2.0 on the text field
       phraseField: String = "content",
-      wand: Boolean = false,
+      // block-max WAND is the default path (differential-proven identical
+      // to exhaustive — EngineSpec/BigDiff); exhaustive survives as the
+      // oracle baseline for tests and the q13 gate differential.
+      wand: Boolean = true,
       diversity: Boolean = true,
       bm25: BM25.Params = BM25.Params())
 
@@ -121,20 +130,28 @@ object QueryEngine {
   /** Fuzziness AUTO term expansion (R4 `fuzziness: AUTO`,
     * opensearch_service.py:209; Lucene AUTO = edit distance 0 for len<3,
     * 1 for 3-5, 2 for >=6): expand each query term to dictionary terms
-    * within its edit-distance budget. Declarative levenshtein scan with a
-    * length-band prefilter; a 10^12-scale deployment would pre-bucket the
-    * dictionary by (length, prefix) — config-only change, same semantics.
+    * within its edit-distance budget.
+    *
+    * Scale shape: the dictionary is PARTITIONED by tlen = length(term)
+    * (IndexBuilder), and |len(cand) - len(t)| <= maxD is an exact necessary
+    * condition for edit distance — so the tlen isin below is a
+    * partition-pruned probe over O(matching length bands), never a scan of
+    * a 10^9-term vocabulary. levenshtein runs only inside the pruned bands.
     * Returns distinct expanded terms (original terms included). */
   def fuzzyExpand(index: SearchIndex, query: String,
       fields: Seq[String] = Seq("content")): Seq[String] = {
     val terms = Analyzer.distinctQueryTerms(query)
     if (terms.isEmpty) return Seq.empty
     def maxD(t: String): Int = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+    val lens: Seq[Any] = terms
+      .flatMap(t => (t.length - maxD(t)) to (t.length + maxD(t)))
+      .filter(_ >= 1).distinct.toSeq
     val cond = terms.map { t =>
-      abs(length(col("term")) - t.length) <= maxD(t) &&
+      abs(col("tlen") - t.length) <= maxD(t) &&
         levenshtein(col("term"), lit(t)) <= maxD(t)
     }.reduce(_ || _)
     val expanded = index.dictionary
+      .filter(col("tlen").isin(lens: _*)) // partition pruning on tlen
       .filter(col("field").isin(fields: _*)).filter(cond)
       .select("term").distinct().collect().map(_.getString(0)).toSeq
     (terms.toSeq ++ expanded).distinct
@@ -157,9 +174,16 @@ object QueryEngine {
       phraseBoost = 0.0)
     val scored = candidates(index, query, relaxed)
     val needle = query.toLowerCase(java.util.Locale.ROOT).trim
+    // wildcard arm, BOUNDED: top-(k*overfetch) matching docIds via
+    // TakeOrderedAndProject over a (docId, path)-projected scan — the arm's
+    // output can never exceed one page. The indexed form of this query is
+    // the relaxed path-field arm above (path tokens are a first-class
+    // postings field); the substring scan is the last-ditch tiebreak, as in
+    // the reference's `wildcard url *q*` (opensearch_service.py:241-261).
     val wildcard = index.docs
       .filter(lower($"path").contains(needle))
-      .select($"docId", lit(0.1).as("score"))
+      .select($"docId").orderBy($"docId").limit(opts.k * opts.overfetch)
+      .withColumn("score", lit(0.1))
     scored.unionByName(wildcard)
       .groupBy($"docId").agg(max($"score").as("score"))
   }
@@ -206,9 +230,11 @@ object QueryEngine {
       .as[BlockRow]
 
     if (opts.wand)
-      wandCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms, phraseIdf)
+      wandCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms,
+        phraseIdf, index.blocksDecoded)
     else
-      exhaustiveCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms, phraseIdf)
+      exhaustiveCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms,
+        phraseIdf, index.blocksDecoded)
   }
 
   /** Phrase tfNorm arm shared by all paths (fixed op order). */
@@ -241,12 +267,14 @@ object QueryEngine {
   private def exhaustiveCandidates(spark: SparkSession, blocks: Dataset[BlockRow],
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       opts: SearchOpts, phraseOn: Boolean, phraseTerms: Array[String],
-      phraseIdf: Double): DataFrame = {
+      phraseIdf: Double,
+      decodeAcc: org.apache.spark.util.LongAccumulator = null): DataFrame = {
     import spark.implicits._
     val p = opts.bm25
     val pf = opts.phraseField
     val pb = opts.phraseBoost
     val pTerms = phraseTerms
+    val acc = Option(decodeAcc)
 
     // (docId, field, term, contrib, dl, positions)
     val decoded: Dataset[(Long, String, String, Double, Int, Seq[Int])] =
@@ -254,6 +282,7 @@ object QueryEngine {
         val avgdl = avgdls(b.field)
         val w = weights((b.field, b.term))
         val keepPos = phraseOn && b.field == pf && pTerms.contains(b.term)
+        acc.foreach(_.add(1L))
         Codec.decodeBlock(b.firstDocId, b.bytes).iterator.map { post =>
           (post.docId, b.field, b.term,
             w * BM25.tfNorm(post.tf, post.dl, avgdl, p), post.dl,
@@ -289,7 +318,8 @@ object QueryEngine {
   private def wandCandidates(spark: SparkSession, blocks: Dataset[BlockRow],
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       opts: SearchOpts, phraseOn: Boolean, phraseTerms: Array[String],
-      phraseIdf: Double): DataFrame = {
+      phraseIdf: Double,
+      decodeAcc: org.apache.spark.util.LongAccumulator = null): DataFrame = {
     import spark.implicits._
     val p = opts.bm25
     val m = opts.k * opts.overfetch
@@ -298,16 +328,18 @@ object QueryEngine {
     val pTerms = phraseTerms
     // phrase arm is non-negative, bounded by boost*idf*(k1+1)
     val phraseUb = if (phraseOn) math.max(0.0, pb * phraseIdf * (p.k1 + 1.0)) else 0.0
+    val acc = Option(decodeAcc)
 
     blocks
       .repartition(col("docGroup"))
-      .sortWithinPartitions("docGroup", "field", "term", "blockIdx")
+      .sortWithinPartitions("docGroup", "field", "term", "firstDocId", "blockIdx")
       .mapPartitions { it =>
+        val onDecode: () => Unit = () => acc.foreach(_.add(1L))
         val heap = new BoundedTopK(m)
         val grouped = new GroupIterator(it)
         while (grouped.hasNext)
           scoreGroup(grouped.next(), weights, avgdls, p, heap, phraseOn,
-            pTerms, pf, pb, phraseIdf, phraseUb)
+            pTerms, pf, pb, phraseIdf, phraseUb, onDecode)
         heap.results.iterator
       }
       .toDF("docId", "score")
@@ -349,7 +381,7 @@ object QueryEngine {
 
   private final class TermCursor(val field: String, val term: String,
       blockList: IndexedSeq[BlockRow], weight: Double, avgdl: Double,
-      p: BM25.Params) {
+      p: BM25.Params, onDecode: () => Unit) {
     private var bi = 0
     private var decoded: Array[graft.core.Posting] = _
     private var pi = 0
@@ -372,6 +404,7 @@ object QueryEngine {
     private def ensureDecoded(): Unit =
       if (decoded == null) {
         val b = blockList(bi)
+        onDecode()
         decoded = Codec.decodeBlock(b.firstDocId, b.bytes)
         pi = 0
       }
@@ -389,16 +422,31 @@ object QueryEngine {
       pi += 1
       if (pi >= decoded.length) { bi += 1; decoded = null; pi = 0 }
     }
-    /** First doc >= target, skipping whole blocks by lastDocId without
-      * decoding them. */
+    /** First doc >= target, skipping whole blocks WITHOUT decoding them:
+      * binary search over the block list by lastDocId (the skip-list role of
+      * the dictionary block metadata — O(log blocks) per seek instead of a
+      * linear block walk), then binary search inside the single decoded
+      * block. */
     @scala.annotation.tailrec
     def advanceTo(target: Long): Unit = {
-      while (!exhausted && blockList(bi).lastDocId < target) {
-        bi += 1; decoded = null; pi = 0
+      if (!exhausted && blockList(bi).lastDocId < target) {
+        var lo = bi + 1
+        var hi = blockList.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (blockList(mid).lastDocId < target) lo = mid + 1 else hi = mid
+        }
+        bi = lo; decoded = null; pi = 0
       }
       if (!exhausted) {
         ensureDecoded()
-        while (pi < decoded.length && decoded(pi).docId < target) pi += 1
+        var lo = pi
+        var hi = decoded.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (decoded(mid).docId < target) lo = mid + 1 else hi = mid
+        }
+        pi = lo
         if (pi >= decoded.length) { bi += 1; decoded = null; pi = 0; advanceTo(target) }
       }
     }
@@ -408,14 +456,18 @@ object QueryEngine {
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       p: BM25.Params, heap: BoundedTopK, phraseOn: Boolean,
       pTerms: Array[String], pf: String, pb: Double, phraseIdf: Double,
-      phraseUb: Double): Unit = {
-    // cursors in ascending (field, term) order — the fixed summation order
+      phraseUb: Double, onDecode: () => Unit = () => ()): Unit = {
+    // cursors in ascending (field, term) order — the fixed summation order.
+    // Blocks of a (field, term) sort by (firstDocId, blockIdx): segments of
+    // an incrementally-grown group hold disjoint monotone docId ranges, so
+    // firstDocId — not blockIdx, which restarts per segment — is the global
+    // block order.
     val cursors: Array[TermCursor] = groupBlocks
       .groupBy(b => (b.field, b.term)).toArray
       .sortBy(_._1)
       .map { case ((f, t), bl) =>
-        new TermCursor(f, t, bl.sortBy(_.blockIdx).toIndexedSeq,
-          weights((f, t)), avgdls(f), p)
+        new TermCursor(f, t, bl.sortBy(b => (b.firstDocId, b.blockIdx)).toIndexedSeq,
+          weights((f, t)), avgdls(f), p, onDecode)
       }
 
     // whole-group skip (strict: boundary ties must still be scored)

@@ -40,7 +40,14 @@ object StreamingIndexer {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
-          IndexBuilder.resume(spark, batch, indexDir, params)
+          // one segment per micro-batch: the epoch id is stable across
+          // crash-retries of the same batch (checkpointed), so the resume's
+          // dynamic partition overwrite of (docGroup, segment=epoch-N) is
+          // exactly-once; distinct batches never share a segment, so a
+          // batch straddling a docGroup boundary APPENDS to the group
+          // instead of being dropped (IndexBuilder.pendingRows).
+          IndexBuilder.resume(spark, batch, indexDir,
+            params.copy(inputSnapshot = s"epoch-$epochId"))
         }
         ()
       }

@@ -38,8 +38,10 @@ class ResumeSpec extends AnyFunSuite {
       .select("partitionId").as[Long].collect().toSet
     assert(lin1 == firstHalf)
 
-    // resume with the FULL corpus: only pending groups get built
-    IndexBuilder.resume(spark, corpus, part, params)
+    // resume with the FULL corpus under a fresh snapshot: only pending rows
+    // get built (distinct inputSnapshot per input batch is the contract)
+    IndexBuilder.resume(spark, corpus, part,
+      params.copy(inputSnapshot = "snapshot-1"))
 
     val lin2 = spark.read.parquet(s"$part/lineage")
       .select("partitionId").as[Long].collect().toSet
@@ -70,10 +72,63 @@ class ResumeSpec extends AnyFunSuite {
     IndexBuilder.build(spark, corpus, dir, params)
     val before = spark.read.parquet(s"$dir/metrics")
       .select("postingsEmitted").as[Long].collect().toSeq
-    IndexBuilder.resume(spark, corpus, dir, params)
+    IndexBuilder.resume(spark, corpus, dir,
+      params.copy(inputSnapshot = "snapshot-1"))
     val after = spark.read.parquet(s"$dir/metrics")
       .select("postingsEmitted").as[Long].collect().toSeq
     assert(before == after, "resume double-counted postings")
+  }
+
+  test("pending-row filter is a join against lineage — no driver isin/collect") {
+    import spark.implicits._
+    val corpus = CorpusGen.generateDF(spark, 300L, seed = 19L, partitions = 3)
+    val dir = "/tmp/graft-test/resume-plan"
+    IndexBuilder.build(spark, corpus, dir, params)
+    val withGroups = corpus
+      .withColumn("docGroup", floor(col("docId") / 128d).cast("long"))
+    val pending = IndexBuilder.pendingRows(withGroups,
+      spark.read.parquet(s"$dir/lineage"), denseIds = true)
+    val plan = pending.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"pending filter is not a join:\n$plan")
+    assert(!plan.contains(" IN ("), s"pending filter uses literal isin:\n$plan")
+    assert(pending.count() == 0, "complete index should have no pending rows")
+  }
+
+  test("append to a committed group lands as a new segment, not a drop") {
+    import spark.implicits._
+    // group 0 is [0, 128); first batch fills it only partially
+    val all = CorpusGen.generateDF(spark, 200L, seed = 23L, partitions = 2)
+    val b1 = all.filter($"docId" < 100)
+    val b2 = all.filter($"docId" >= 100) // 100..127 straddle committed group 0
+    val dir = "/tmp/graft-test/resume-straddle"
+    val full = "/tmp/graft-test/resume-straddle-full"
+    IndexBuilder.build(spark, b1, dir, params)
+    IndexBuilder.resume(spark, b2, dir, params.copy(inputSnapshot = "snapshot-1"))
+    IndexBuilder.build(spark, all, full, params)
+
+    def dict(d: String) = spark.read.parquet(s"$d/dictionary")
+      .select("field", "term", "df", "totalTf").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(dict(dir) == dict(full), "straddled append lost or duplicated postings")
+    assert(spark.read.parquet(s"$dir/docs").count() == 200L)
+
+    val iApp = new SearchIndex(spark, dir)
+    val iFull = new SearchIndex(spark, full)
+    Seq("python tutorial", "machine learning", "the if return").foreach { q =>
+      val a = QueryEngine.search(iApp, q, SearchOpts()).collect().map(_.toSeq).toSeq
+      val b = QueryEngine.search(iFull, q, SearchOpts()).collect().map(_.toSeq).toSeq
+      assert(a == b, s"appended index answers differently on '$q'")
+    }
+  }
+
+  test("docId collision audit fails the build") {
+    import spark.implicits._
+    val corpus = CorpusGen.generateDF(spark, 100L, seed = 29L, partitions = 2)
+      .withColumn("docId", col("docId") % 50) // force collisions
+    val e = intercept[IllegalStateException] {
+      IndexBuilder.build(spark, corpus, "/tmp/graft-test/resume-collide", params)
+    }
+    assert(e.getMessage.contains("docId collision"))
   }
 
   test("sha256 invariant: corrupted content is detected per row and per group") {

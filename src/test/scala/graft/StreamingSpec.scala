@@ -62,6 +62,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB2 == batch12, "stream(b1+b2) != batch(b1 ∪ b2)")
   }
 
+  test("micro-batches straddling docGroup boundaries lose no documents") {
+    import spark.implicits._
+    // docGroupSize=128 but files of ~25 ids and maxFilesPerTrigger=4 →
+    // micro-batch boundaries never align to groups; every batch straddles a
+    // committed group (the exactly-once trap ADVICE flagged in round 1)
+    val base = "/tmp/graft-test/stream-straddle"
+    IndexBuilder.deleteDir(spark, base)
+    val input = s"$base/in"
+
+    def gen(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).map(i => (i, CorpusGen.row(29L, i)))
+        .select(col("_1").as("docId"), col("_2.repo").as("repo"),
+          col("_2.path").as("path"), col("_2.commit").as("commit"),
+          col("_2.lang").as("lang"), col("_2.content").as("content"),
+          col("_2.sha256").as("sha256"))
+
+    gen(0L, 300L, 12).write.mode("overwrite").parquet(input) // ~25 ids/file
+    val schema = spark.read.parquet(input).schema
+    StreamingIndexer.runAvailableNow(spark, input, schema,
+      s"$base/index", s"$base/ckpt", params)
+
+    assert(spark.read.parquet(s"$base/index/docs").count() == 300L,
+      "straddling micro-batches dropped documents")
+
+    val batchDir = s"$base/batch"
+    IndexBuilder.build(spark, gen(0L, 300L, 12).toDF(), batchDir, params)
+    val q = "python tutorial"
+    val streamed = QueryEngine.search(new SearchIndex(spark, s"$base/index"), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    val batched = QueryEngine.search(new SearchIndex(spark, batchDir), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    assert(streamed == batched, "stream(straddled batches) != batch(all)")
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     val base = "/tmp/graft-test/stream-events"
