@@ -23,17 +23,31 @@ object SparkEntry {
 
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, SearchIndex]()
 
+  private def docsCorpus(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("source").as("repo"),
+        concat_ws("/", col("source"), col("lang"), col("doc_id")).as("path"),
+        col("lang"), col("text").as("content"))
+
   /** documents.parquet -> corpus shape -> built index (memoized per sfDir). */
   def docsIndex(spark: SparkSession, sfDir: String): SearchIndex =
     indexCache.computeIfAbsent(sfDir, { _ =>
-      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id").as("docId"), col("source").as("repo"),
-          concat_ws("/", col("source"), col("lang"), col("doc_id")).as("path"),
-          col("lang"), col("text").as("content"))
       val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
-      IndexBuilder.build(spark, corpus, dir,
+      IndexBuilder.build(spark, docsCorpus(spark, sfDir), dir,
         IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
           fields = Seq("content")))
+      new SearchIndex(spark, dir)
+    })
+
+  /** Two-field index (content + path tokens — the title/headings analog of
+    * the reference's multi-field search shape, opensearch_service.py:198-227)
+    * for the q19 gate. */
+  def docsIndexMF(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#mf", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-mf"
+      IndexBuilder.build(spark, docsCorpus(spark, sfDir), dir,
+        IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+          fields = Seq("content", "path")))
       new SearchIndex(spark, dir)
     })
 
@@ -142,6 +156,22 @@ object SparkEntry {
     }),
     "q17_bm25_diversity" -> ((s, d) =>
       bm25(s, d, "spark merge join", 9, diversity = true, wand = true)),
+    "q19_bm25_fields" -> ((s, d) => {
+      // the reference's PRIMARY query shape end-to-end: multi-field boosts
+      // (content^1.5 + path^2.5, the title/headings analog) and the
+      // match_phrase 2.0 arm, through the real 2-field index + WAND
+      val idx = docsIndexMF(s, d)
+      Seq(("src12 merge join", 0.0), ("merge join", 2.0)).zipWithIndex
+        .map { case ((q, pb), i) =>
+          QueryEngine.search(idx, q, SearchOpts(k = 10, overfetch = 3,
+              diversity = false, wand = true,
+              fields = Seq("content" -> 1.5, "path" -> 2.5),
+              phraseBoost = pb, phraseField = "content"))
+            .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+              round(col("score"), 6).as("score"), col("repo"))
+            .withColumn("qid", lit(i.toLong))
+        }.reduce(_ unionByName _)
+    }),
     "q16_phrase_count" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, d, "documents").select(col("doc_id"),
@@ -190,8 +220,9 @@ object SparkEntry {
       Dedup.simhash(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", bits = 20)),
     "q24_ngram_pairs" -> ((s, d) =>
+      // maxShingleDf exercises the hot-shingle skew guard through the gate
       Dedup.ngramJaccardPairs(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", n = 3, threshold = 0.5)),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(50))),
     "q25_langid" -> ((s, d) =>
       TextAnalysis.langId(s, t(s, d, "documents"), "doc_id", "text")),
     "q26_quality" -> ((s, d) =>
@@ -217,6 +248,22 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", threshold = 0.25, bits = 4)),
+    "q34_ann_ivf" -> ((s, d) => {
+      // IVF assign/probe/search machinery with a DETERMINISTIC coarse
+      // quantizer (first 8 vectors as centroids) so DuckDB can replicate it
+      // exactly; the k-means trainer itself is covered by AnnIvfSpec
+      // (recall bounds + full-probe == brute force).
+      import graft.ops.AnnIvf
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      val model = AnnIvf.Model(cents)
+      val assigned = AnnIvf.assign(emb, "embedding", model)
+      val qvec = emb.filter(col("vec_id") === 3L).collect()(0).getSeq[Float](1).toArray
+      AnnIvf.search(assigned, "vec_id", "embedding", qvec, 10, model, nProbe = 2)
+        .select(col("rank").cast("long").as("rnk"), col("vec_id"), col("cos"),
+          col("cell").cast("long").as("cell"))
+    }),
     "q33_centroids" -> ((s, d) => {
       Similarity.centroids(t(s, d, "embeddings"), "label", "embedding")
         .select(col("label").cast("long").as("label"),
@@ -289,7 +336,11 @@ object SparkEntry {
     val qidSel = qid.map(i => s", CAST($i AS BIGINT) AS qid").getOrElse("")
     val composite = "score DESC, quality DESC, reposcore DESC, doc_id"
     val core = s"""WITH $Toks, $Dl,
-st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+-- avgdl over ALL docs (engine stats average dl=0 docs too; avg(dl) from the
+-- toks-derived dl CTE would silently skip zero-token docs)
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                / (SELECT count(*) FROM documents) AS avgdl),
 q(term) AS (VALUES $vals),
 dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN (SELECT term FROM q) GROUP BY term),
 tft AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
@@ -321,6 +372,88 @@ page AS (SELECT * FROM passed ORDER BY pass, $composite LIMIT $k)
 SELECT CAST(row_number() OVER (ORDER BY pass, $composite) AS BIGINT) AS rnk,
        doc_id, round(score, 6) AS score, repo$qidSel
 FROM page"""
+  }
+
+  /** Multi-field BM25 oracle (content^cb + path^pb2 with per-field N/avgdl/
+    * df, fixed (field, term) summation order, optional 2-term phrase arm on
+    * content) — a from-scratch SQL restatement of QueryEngine's multi-field
+    * semantics for the q19 gate. */
+  private def bm25FieldsSql(terms: Seq[String], k: Int, cb: Double, pb2: Double,
+      phrase: Option[(String, String)], phraseBoost: Double, qid: Int): String = {
+    val sorted = terms.sorted.distinct
+    val vals = sorted.map(t => s"('$t')").mkString(",")
+    val m = k * 3
+    val composite = "score DESC, quality DESC, reposcore DESC, doc_id"
+    val phraseCtes = phrase.map { case (t0, t1) =>
+      s""",
+pptoks AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)),
+pnxt AS (SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1 FROM pptoks),
+pocc AS (SELECT doc_id, count(*) AS occ FROM pnxt
+         WHERE term = '$t0' AND t1 = '$t1' GROUP BY doc_id),
+pidf AS (SELECT min(ln((s.n - f.df + 0.5) / (f.df + 0.5))) AS v
+         FROM dft f JOIN st s ON s.field = f.field
+         WHERE f.field = 'content' AND f.term IN ('$t0', '$t1')),
+ph AS (
+  SELECT o.doc_id,
+         $phraseBoost * pidf.v *
+         (o.occ * (1.2 + 1.0) / (o.occ + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS p
+  FROM pocc o
+  JOIN fdl l ON l.doc_id = o.doc_id AND l.field = 'content'
+  JOIN st s ON s.field = 'content', pidf)"""
+    }.getOrElse("")
+    val scoredSql = phrase match {
+      case Some(_) =>
+        "SELECT s.doc_id, s.base + coalesce(ph.p, 0) AS score FROM sc s LEFT JOIN ph ON s.doc_id = ph.doc_id"
+      case None => "SELECT doc_id, base AS score FROM sc"
+    }
+    s"""WITH docs2 AS (
+  SELECT doc_id, source,
+         lower(source || '/' || lang || '/' || CAST(doc_id AS VARCHAR)) AS path,
+         text
+  FROM documents),
+ftoks AS (
+  SELECT doc_id, 'content' AS field,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs2
+  UNION ALL
+  SELECT doc_id, 'path' AS field,
+         unnest(regexp_extract_all(path, '[a-z0-9]+')) AS term FROM docs2),
+fdl AS (SELECT doc_id, field, count(*) AS dl FROM ftoks GROUP BY doc_id, field),
+st AS (SELECT field, (SELECT count(*) FROM documents) AS n,
+              CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+       FROM ftoks GROUP BY field),
+q(term) AS (VALUES $vals),
+dft AS (SELECT field, term, count(DISTINCT doc_id) AS df FROM ftoks
+        WHERE term IN (SELECT term FROM q) GROUP BY field, term),
+tft AS (SELECT doc_id, field, term, count(*) AS tf FROM ftoks
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, field, term),
+contrib AS (
+  SELECT t.doc_id, t.field, t.term,
+         (CASE WHEN t.field = 'content' THEN $cb ELSE $pb2 END) *
+         ln((s.n - f.df + 0.5) / (f.df + 0.5)) *
+         (t.tf * (1.2 + 1.0) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS c
+  FROM tft t
+  JOIN dft f ON t.field = f.field AND t.term = f.term
+  JOIN fdl l ON t.doc_id = l.doc_id AND t.field = l.field
+  JOIN st s ON s.field = t.field),
+sc AS (SELECT doc_id, sum(c ORDER BY field, term) AS base FROM contrib GROUP BY doc_id)$phraseCtes,
+scored AS ($scoredSql),
+topm AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $m),
+meta AS (
+  SELECT d.doc_id, d.source AS repo,
+    CASE WHEN coalesce(l.dl, 0) < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3
+         WHEN l.dl < 300 THEN 0.7 WHEN l.dl < 1000 THEN 1.5
+         WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, dl FROM fdl WHERE field = 'content') l USING (doc_id)),
+joined AS (SELECT t.doc_id, t.score, m.repo, m.quality, m.reposcore
+           FROM topm t JOIN meta m USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY $composite) AS BIGINT) AS rnk,
+       doc_id, round(score, 6) AS score, repo, CAST($qid AS BIGINT) AS qid
+FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
   }
 
   private val metaSqlWidth =
@@ -365,9 +498,10 @@ FROM page"""
         FROM events GROUP BY 1, 2""",
 
     "q10_index_stats" ->
-      s"""WITH $Toks, $Dl
+      s"""WITH $Toks
         SELECT (SELECT count(*) FROM documents) AS n_docs,
-               (SELECT round(avg(dl), 6) FROM dl) AS avgdl,
+               round((SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents), 6) AS avgdl,
                count(DISTINCT term) AS vocab,
                count(DISTINCT (doc_id, term)) AS postings
         FROM toks""",
@@ -389,6 +523,12 @@ FROM page"""
         s"SELECT * FROM (${bm25Sql(q.split(" ").toSeq, 5, diversity = false, qid = Some(i))})"
       }.mkString("\nUNION ALL\n"),
     "q17_bm25_diversity" -> bm25Sql(Seq("spark", "merge", "join"), 9, diversity = true),
+    "q19_bm25_fields" -> Seq(
+        bm25FieldsSql(Seq("src12", "merge", "join"), 10, cb = 1.5, pb2 = 2.5,
+          phrase = None, phraseBoost = 0.0, qid = 0),
+        bm25FieldsSql(Seq("merge", "join"), 10, cb = 1.5, pb2 = 2.5,
+          phrase = Some(("merge", "join")), phraseBoost = 2.0, qid = 1))
+      .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q18_phrase_engine" ->
       s"""WITH $ToksPos,
         nxt AS (SELECT doc_id, term,
@@ -455,8 +595,10 @@ FROM page"""
         grams AS (
           SELECT doc_id, term, lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2
           FROM ptoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        sh AS (SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+        sh0 AS (SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
                FROM grams WHERE t2 IS NOT NULL),
+        keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -552,6 +694,32 @@ FROM page"""
                  FROM terms GROUP BY id_a, id_b),
         cs AS (SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots)
         SELECT id_a, id_b, round(cos, 6) AS cos FROM cs WHERE cos >= 0.25""",
+    "q34_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        pairs AS (SELECT e.vec_id, c.cid, e.embedding AS x, c.cvec AS y FROM embeddings e, cents c),
+        tms AS (SELECT vec_id, cid, generate_subscripts(x, 1) AS i,
+                       unnest(x) AS xv, unnest(y) AS yv FROM pairs),
+        dots AS (SELECT vec_id, cid, ${cosSql("xv", "yv")} AS dot,
+                        ${cosSql("xv", "xv")} AS na, ${cosSql("yv", "yv")} AS nb
+                 FROM tms GROUP BY vec_id, cid),
+        cos_c AS (SELECT vec_id, cid, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots),
+        assigned AS (SELECT vec_id, cid AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM cos_c) WHERE rn = 1),
+        probe AS (SELECT cid FROM cos_c WHERE vec_id = 3 ORDER BY cos DESC, cid LIMIT 2),
+        qv AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 3),
+        cand AS (SELECT e.vec_id, a.cell, e.embedding AS x, qv.e AS y
+                 FROM embeddings e JOIN assigned a USING (vec_id), qv
+                 WHERE a.cell IN (SELECT cid FROM probe)),
+        t2 AS (SELECT vec_id, cell, generate_subscripts(x, 1) AS i,
+                      unnest(x) AS xv, unnest(y) AS yv FROM cand),
+        d2 AS (SELECT vec_id, cell, ${cosSql("xv", "yv")} AS dot,
+                      ${cosSql("xv", "xv")} AS na, ${cosSql("yv", "yv")} AS nb
+               FROM t2 GROUP BY vec_id, cell),
+        cs AS (SELECT vec_id, cell, dot / (sqrt(na) * sqrt(nb)) AS cos FROM d2)
+        SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk,
+               vec_id, round(cos, 6) AS cos, CAST(cell AS BIGINT) AS cell
+        FROM (SELECT * FROM cs ORDER BY cos DESC, vec_id LIMIT 10)""",
     "q33_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
                round(avg(CAST(v AS DOUBLE)), 6) AS centroid

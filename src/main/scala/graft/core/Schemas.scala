@@ -63,23 +63,33 @@ case class PostingBlock(
     minTfNorm: Double,
     bytes: Array[Byte])
 
-/** Dictionary entry: one row per (field, term). */
-case class DictEntry(field: String, term: String, df: Long, totalTf: Long)
+/** Dictionary entry: one row per (field, term). nBlocks/maxTf/minDl are the
+  * term-level seek/upper-bound metadata (skip-list role); the stored table
+  * is partitioned by tlen = length(term) so fuzzy expansion prunes to the
+  * matching length bands. */
+case class DictEntry(field: String, term: String, df: Long, totalTf: Long,
+    nBlocks: Long, maxTf: Int, minDl: Int)
 
 /** Corpus-level BM25 stats, one row per indexed field. */
 case class FieldStats(field: String, n: Long, avgdl: Double)
 
-/** Per-docGroup build lineage for checkpoint-resume (north_rule). */
+/** Per-(docGroup, segment) build lineage for checkpoint-resume
+  * (north_rule). One row per docGroup per input snapshot; the table is
+  * partitioned by inputSnapshot so a batch's commit (and its crash-retry)
+  * overwrites exactly its own partition. Committed state per group =
+  * max(maxDocId) over done rows — always an aggregation over the table,
+  * never driver memory. */
 case class LineageRow(
     partitionId: Long,      // the docGroup
-    inputSnapshot: String,
     status: String,         // "done"
     docs: Long,
+    maxDocId: Long,         // append frontier: rows above it are pending
     postingsEmitted: Long,
     bytesCompressed: Long,
     mergeFanIn: Long,       // distinct terms in this group (fan-in contribution)
     shaOk: Boolean,
-    updatedAt: java.sql.Timestamp)
+    updatedAt: java.sql.Timestamp,
+    inputSnapshot: String)  // partition column
 
 /** Build metrics (north_rule: postings emitted, bytes compressed, merge
   * fan-in), one row per build. */
@@ -92,4 +102,5 @@ case class BuildMetrics(
     bytesRawEstimate: Long,
     maxMergeFanIn: Long,    // max docGroups any single term spans
     avgMergeFanIn: Double,
-    shaViolations: Long)
+    shaViolations: Long,
+    docIdCollisions: Long)  // audited each build; nonzero fails the build

@@ -289,48 +289,16 @@ object IndexBuilder {
         .sortWithinPartitions("field", "term", "firstDocId", "blockIdx"),
       layout.postings, Seq("docGroup", "segment"))
 
-    // ---- dictionary + stats from FULL tables ----
-    // Per-term block count + maxTf/minDl give the query side term-level
-    // upper bounds and seek metadata without touching postings; tlen
-    // partitioning makes fuzzy expansion a partition-pruned probe
-    // (QueryEngine.fuzzyExpand) instead of a full-dictionary scan.
+    // ---- dictionary/stats/metrics re-derived from the FULL tables (also
+    // audits docId collisions — throws before lineage commits) ----
+    refreshDerived(spark, dir, io)
+
+    // ---- lineage LAST (the commit marker a resume trusts): per-(docGroup,
+    // segment) rows, partitioned by snapshot — dynamic overwrite of THIS
+    // snapshot's partition only. Append-only at the table level; committed
+    // state is an aggregation, never driver memory. ----
     val allBlocks = io.read(spark, layout.postings)
-    io.overwritePartitions(
-      allBlocks.groupBy($"field", $"term")
-        .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
-          count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
-          min($"minDl").as("minDl"))
-        .withColumn("tlen", length($"term"))
-        .repartition($"tlen").sortWithinPartitions("field", "term"),
-      layout.dictionary, Seq("tlen"))
-
-    // one job: N, per-field avgdl, sha violations, docId collision audit
     val allDocs = io.read(spark, layout.docs)
-    val docAggCols = count(lit(1)).as("n") +:
-      countDistinct($"docId").as("nDistinct") +:
-      sum(when(!$"shaOk", 1L).otherwise(0L)).as("shaViol") +:
-      params.fields.map(f => avg(col(s"dl_$f")).as(s"avgdl_$f"))
-    val docAgg = allDocs.agg(docAggCols.head, docAggCols.tail: _*).collect()(0)
-    val nDocs = docAgg.getAs[Long]("n")
-    val nDistinct = docAgg.getAs[Long]("nDistinct")
-    val shaViol = docAgg.getAs[Long]("shaViol")
-    // docId collisions silently merge different docs' postings (wrong
-    // tf/dl) — at 10^12 rows a 64-bit hash id EXPECTS collisions, so this
-    // is a hard failure, not a warning.
-    if (nDistinct != nDocs)
-      throw new IllegalStateException(
-        s"docId collision: $nDocs doc rows but $nDistinct distinct docIds — " +
-          "supply dense ingest-assigned docIds (hash-derived ids collide at scale)")
-    io.overwritePartitions(
-      params.fields.map { f =>
-        (f, nDocs, docAgg.getAs[Double](s"avgdl_$f"))
-      }.toDF("field", "n", "avgdl").coalesce(1),
-      layout.stats, Nil)
-
-    // ---- lineage: per-(docGroup, segment) rows, partitioned by snapshot —
-    // dynamic overwrite of THIS snapshot's partition only. Append-only at
-    // the table level; committed state is an aggregation, never driver
-    // memory. ----
     val segPostings = allBlocks.filter($"segment" === segment)
     val segDocs = allDocs.filter($"segment" === segment)
     val newLineage = segPostings
@@ -348,10 +316,63 @@ object IndexBuilder {
         $"mergeFanIn", $"shaOk", current_timestamp().as("updatedAt"),
         lit(segment).as("inputSnapshot"))
     io.overwritePartitions(newLineage, layout.lineage, Seq("inputSnapshot"))
+  }
 
-    // ---- metrics (one job over the dictionary-grain aggregate; raw-size
+  /** Re-derive dictionary, stats and metrics from the CURRENT docs/postings
+    * tables (fields inferred from the docs schema's dl_ columns) — the
+    * derived tables are always a pure function of the surviving segments.
+    * Called after every build/resume and after Retention expiry. Audits
+    * docId uniqueness (count vs countDistinct) and throws on collision
+    * before writing stats. */
+  private[graft] def refreshDerived(spark: SparkSession, dir: String,
+      io: TableIO = ParquetTableIO): Unit = {
+    import spark.implicits._
+    val layout = Layout(dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val allBlocks = io.read(spark, layout.postings)
+    val allDocs = io.read(spark, layout.docs)
+    val fields = allDocs.columns.filter(_.startsWith("dl_"))
+      .map(_.stripPrefix("dl_")).toSeq.sorted
+
+    // one job: N, per-field avgdl, sha violations, docId collision audit
+    val docAggCols = count(lit(1)).as("n") +:
+      countDistinct($"docId").as("nDistinct") +:
+      sum(when(!$"shaOk", 1L).otherwise(0L)).as("shaViol") +:
+      fields.map(f => avg(col(s"dl_$f")).as(s"avgdl_$f"))
+    val docAgg = allDocs.agg(docAggCols.head, docAggCols.tail: _*).collect()(0)
+    val nDocs = docAgg.getAs[Long]("n")
+    val nDistinct = docAgg.getAs[Long]("nDistinct")
+    val shaViol = docAgg.getAs[Long]("shaViol")
+    // docId collisions silently merge different docs' postings (wrong
+    // tf/dl) — at 10^12 rows a 64-bit hash id EXPECTS collisions, so this
+    // is a hard failure, not a warning.
+    if (nDistinct != nDocs)
+      throw new IllegalStateException(
+        s"docId collision: $nDocs doc rows but $nDistinct distinct docIds — " +
+          "supply dense ingest-assigned docIds (hash-derived ids collide at scale)")
+
+    // dictionary: per-term block count + maxTf/minDl give the query side
+    // term-level upper bounds and seek metadata without touching postings;
+    // tlen partitioning makes fuzzy expansion a partition-pruned probe
+    // (QueryEngine.fuzzyExpand) instead of a full-dictionary scan.
+    io.overwritePartitions(
+      allBlocks.groupBy($"field", $"term")
+        .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
+          count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
+          min($"minDl").as("minDl"))
+        .withColumn("tlen", length($"term"))
+        .repartition($"tlen").sortWithinPartitions("field", "term"),
+      layout.dictionary, Seq("tlen"))
+
+    io.overwritePartitions(
+      fields.map { f =>
+        (f, nDocs, docAgg.getAs[Double](s"avgdl_$f"))
+      }.toDF("field", "n", "avgdl").coalesce(1),
+      layout.stats, Nil)
+
+    // metrics (one job over the dictionary-grain aggregate; raw-size
     // estimate derived exactly from block metadata: every occurrence is one
-    // position, so raw = 16B/posting + 4B/occurrence = 16*n + 4*sumTf) ----
+    // position, so raw = 16B/posting + 4B/occurrence = 16*n + 4*sumTf)
     val perField = allBlocks.groupBy($"field", $"term")
       .agg(countDistinct($"docGroup").as("g"), sum($"n").as("p"),
         count(lit(1)).as("bl"), sum(length($"bytes")).as("bc"),
@@ -360,7 +381,7 @@ object IndexBuilder {
         sum($"p").as("postings"), sum($"bl").as("blocks"), sum($"bc").as("bytes"),
         sum($"raw").as("raw"))
       .collect().map(r => r.getString(0) -> r).toMap
-    val rows = params.fields.map { f =>
+    val rows = fields.map { f =>
       val r = perField.get(f)
       (f, nDocs,
         r.map(_.getAs[Long]("postings")).getOrElse(0L),

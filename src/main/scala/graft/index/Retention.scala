@@ -1,0 +1,54 @@
+package graft.index
+
+import graft.io.{ParquetTableIO, TableIO}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Retention / rollover lifecycle for the index — the engine's analog of
+  * the reference's ISM policy (indexer/ism_policy.json:1-36 deletes indices
+  * older than 90 days) and daily-alias swap (indexer/indexer.py:263-266,
+  * 359-383).
+  *
+  * The SEGMENT (one per input snapshot / micro-batch epoch) plays the
+  * daily-index role: expiry drops whole committed segments as partition
+  * directories — one metadata-scale fs op per (docGroup, segment) dir,
+  * never a row-level delete — removes their lineage partitions, and
+  * re-derives dictionary/stats/metrics from the survivors
+  * (IndexBuilder.refreshDerived), so queries over the post-expiry index are
+  * indistinguishable from a fresh build of the surviving rows (the alias
+  * swap: readers always see a consistent view through the derived tables).
+  */
+object Retention {
+
+  /** Drop the given snapshots' segments from docs/postings + their lineage
+    * partitions, then refresh the derived tables. No-op for unknown ids. */
+  def expireSnapshots(spark: SparkSession, dir: String,
+      snapshots: Seq[String], io: TableIO = ParquetTableIO): Unit = {
+    if (snapshots.isEmpty) return
+    val layout = IndexBuilder.Layout(dir)
+    snapshots.foreach { s =>
+      io.deletePartitions(spark, layout.docs, Seq("docGroup" -> "*", "segment" -> s))
+      io.deletePartitions(spark, layout.postings, Seq("docGroup" -> "*", "segment" -> s))
+      io.deletePartitions(spark, layout.lineage, Seq("inputSnapshot" -> s))
+    }
+    IndexBuilder.refreshDerived(spark, dir, io)
+  }
+
+  /** Expire every snapshot whose NEWEST lineage row is older than `cutoff`
+    * (the ISM `min_index_age: 90d` analog). Returns the expired snapshot
+    * ids. The lineage scan is an aggregation over the lineage table; only
+    * the resulting snapshot ID LIST (one per batch, not per group) reaches
+    * the driver. */
+  def expireOlderThan(spark: SparkSession, dir: String,
+      cutoff: java.sql.Timestamp, io: TableIO = ParquetTableIO): Seq[String] = {
+    val layout = IndexBuilder.Layout(dir)
+    if (!io.exists(spark, layout.lineage)) return Seq.empty
+    val expired = io.read(spark, layout.lineage)
+      .groupBy(col("inputSnapshot"))
+      .agg(max(col("updatedAt")).as("newest"))
+      .filter(col("newest") < lit(cutoff))
+      .select("inputSnapshot").collect().map(_.getString(0)).toSeq
+    expireSnapshots(spark, dir, expired, io)
+    expired
+  }
+}

@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.pipeline.{Scoring, TextPipeline}
+import graft.pipeline.{HtmlExtract, Scoring, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -53,28 +53,53 @@ object CrawlSource {
   }
 
   /** §3.2 pipeline: crawl rows -> Processed Documents
-    * (hybrid_processor.py:40-67 shape, text-based — the F2 tag strip is the
-    * only HTML step retained; DOM extraction is out of scope for source
-    * text). Returns the documents DataFrame. */
+    * (hybrid_processor.py:40-67 shape). HTML inputs go through the full
+    * extraction stack — F3 noise filter + F4 main-content cascade
+    * (main_content_extractor.rs:8-97), T15 title/description/author/date/
+    * canonical cascades (metadata_extractor.rs:147-459), T14 headings
+    * (optimized.rs:143-161), T11 meta keywords — all as codegen'd column
+    * expressions (graft.pipeline.HtmlExtract); plain-text inputs keep the
+    * F2 tag-strip fast path. Returns the documents DataFrame; `title`,
+    * `headings` and `keywords` are real ranking fields (feed them to
+    * IndexBuilder.Params.fields for the reference's title^2.5/headings^3.0/
+    * keywords^2.0 multi-field shape). */
   def toDocuments(crawl: DataFrame): DataFrame = {
-    // F2: strip style/script/nav blocks + all tags before anything else
+    val isHtml = HtmlExtract.looksLikeHtml(col("content"))
+    // F2 fast path for non-HTML text: strip stray blocks + tags
     val noBlocks = regexp_replace(col("content"),
       "(?is)<(style|script|noscript|nav|header|footer)[^>]*>.*?</\\1>", " ")
-    val text = TextPipeline.cleanText(regexp_replace(noBlocks, "<[^>]+>", " "))
-    val title = trim(substring(text, 1, 80))
+    val plainText = TextPipeline.cleanText(regexp_replace(noBlocks, "<[^>]+>", " "))
+    val text = when(isHtml,
+      TextPipeline.cleanText(HtmlExtract.mainText(col("content"))))
+      .otherwise(plainText)
     val base = crawl
       .withColumn("text", text)
-      .withColumn("title", title)
+      .withColumn("title", coalesce(
+        when(isHtml, HtmlExtract.title(col("content"))),
+        trim(substring(col("text"), 1, 80))))
+      .withColumn("headings",
+        when(isHtml, HtmlExtract.headings(col("content")))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("keywords",
+        when(isHtml, HtmlExtract.metaKeywords(col("content")))
+          .otherwise(array().cast("array<string>")))
       .withColumn("domain2", coalesce(col("domain"), TextPipeline.domainOf(col("url"))))
       .withColumn("wc", size(split(col("text"), "\\s+")))
-      .withColumn("heading_count", lit(0))
+      .withColumn("heading_count", size(col("headings")))
     base.select(
       TextPipeline.documentId(col("text"), col("wc")).as("document_id"),
       col("url"), col("title"), col("domain2").as("domain"),
-      TextPipeline.cleanDescription(col("text")).as("description"),
+      coalesce(
+        when(isHtml, HtmlExtract.description(col("content"))),
+        TextPipeline.cleanDescription(col("text"))).as("description"),
+      col("headings"), col("keywords"),
+      when(isHtml, HtmlExtract.author(col("content"))).as("author"),
+      when(isHtml, HtmlExtract.canonicalUrl(col("content"))).as("canonical_url"),
       graft.pipeline.TextPipeline.contentType(col("title"), col("text")).as("content_type"),
       TextPipeline.categories(col("text")).as("categories"),
-      TextPipeline.normalizeDate(col("timestamp")).as("published_date"),
+      coalesce(
+        when(isHtml, TextPipeline.normalizeDate(HtmlExtract.publishedDate(col("content")))),
+        TextPipeline.normalizeDate(col("timestamp"))).as("published_date"),
       struct(
         col("wc").as("word_count"),
         Scoring.contentQualityScore(col("text"), col("title"),
@@ -107,25 +132,43 @@ object CrawlSource {
 
   /** S6: id-keyed idempotent upsert — new rows win over existing rows with
     * the same id (the indexer's _id-keyed bulk upsert, indexer.py:474-495).
-    * Parquet read-union-dedup-rewrite stands in for Iceberg MERGE INTO. */
+    * Parquet read-union-dedup-rewrite stands in for Iceberg MERGE INTO.
+    *
+    * Duplicate ids WITHIN one updates batch resolve deterministically (the
+    * row with the lexicographically greatest serialized content wins), and
+    * the promote renames the old table ASIDE before renaming the new one in
+    * — a crash at any point leaves either the old or the new table intact,
+    * never neither (the delete-before-rename window is gone). */
   def upsertById(spark: SparkSession, table: String, updates: DataFrame,
       idCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val hasExisting = graft.index.IndexBuilder.fileExists(spark, table)
+    // deterministic tiebreak for duplicate ids within one batch
+    val tagged = updates.withColumn("_gen", lit(1L))
+      .withColumn("_tie", to_json(struct(updates.columns.map(col): _*)))
     val merged =
-      if (!hasExisting) updates.withColumn("_gen", lit(1L))
-      else {
-        val existing = spark.read.parquet(table).withColumn("_gen", lit(0L))
-        val w = Window.partitionBy(col(idCol)).orderBy(col("_gen").desc)
-        existing.unionByName(updates.withColumn("_gen", lit(1L)))
+      if (!hasExisting) {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("_gen").desc, col("_tie").desc)
+        tagged.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      } else {
+        val existing = spark.read.parquet(table)
+          .withColumn("_gen", lit(0L)).withColumn("_tie", lit(""))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("_gen").desc, col("_tie").desc)
+        existing.unionByName(tagged)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
       }
     val tmp = s"$table-next"
-    merged.drop("_gen").write.mode("overwrite").parquet(tmp)
+    merged.drop("_gen", "_tie").write.mode("overwrite").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val old = new org.apache.hadoop.fs.Path(s"$table-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old) // old aside first — never delete-then-rename
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -65,11 +65,11 @@ object AnnIvf {
     val cosUdf = udf { (xs: Seq[Float]) => cosine(xs.toArray, q) }
     assigned
       .filter(col("cell").isin(probeCells: _*)) // partition-pruned at scale
-      .withColumn("cos", round(cosUdf(col(vecCol)), 6))
-      .orderBy(col("cos").desc, col(idCol).asc)
+      .withColumn("cos", cosUdf(col(vecCol)))
+      .orderBy(col("cos").desc, col(idCol).asc) // unrounded order (tie-break id)
       .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cos").desc, col(idCol).asc)))
-      .select(col("rank"), col(idCol), col("cos"), col("cell"))
+      .select(col("rank"), col(idCol), round(col("cos"), 6).as("cos"), col("cell"))
   }
 }

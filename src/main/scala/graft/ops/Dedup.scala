@@ -45,11 +45,14 @@ object Dedup {
 
   /** MinHash signatures: numHashes per row, each min over the token set of a
     * universal hash — pure array expressions, no shuffle, codegen-friendly.
-    * Returns input id + mh_0..mh_{n-1}. */
+    * Zero-token docs have no signature (min over an empty set is undefined)
+    * and are excluded — matching the SQL-oracle semantics, where such docs
+    * produce no token rows at all. Returns input id + mh_0..mh_{n-1}. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
       numHashes: Int = 8): DataFrame = {
     val toks = tokenSet(text)
-    val withSig = (0 until numHashes).foldLeft(df.withColumn("_toks", toks)) {
+    val base = df.withColumn("_toks", toks).filter(size(col("_toks")) > 0)
+    val withSig = (0 until numHashes).foldLeft(base) {
       (acc, i) =>
         acc.withColumn(s"mh_$i",
           array_min(transform(col("_toks"), t => Hashing.uhash(Hashing.hp(t), i))))
@@ -95,15 +98,32 @@ object Dedup {
     sums.select(col(id), fp.as("simhash"))
   }
 
-  /** Near-dup pairs by simhash hamming distance <= maxDist (self-join on the
-    * small fingerprint table; at scale, pre-bucket by fingerprint prefix). */
-  def simhashPairs(fps: DataFrame, id: String, maxDist: Int): DataFrame = {
-    val a = fps.select(col(id).as("id_a"), col("simhash").as("sh_a"))
-    val b = fps.select(col(id).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+  /** Near-dup pairs by simhash hamming distance <= maxDist.
+    *
+    * Scale shape: the fingerprint is split into (maxDist+1) contiguous bit
+    * bands; by pigeonhole, any pair within hamming distance maxDist agrees
+    * EXACTLY on at least one band, so candidates come from an equi-join on
+    * (band, bandBits) — never an all-pairs cross join — and the exact
+    * hamming filter keeps only true near-dups. Identical results to the
+    * naive quadratic form (OpsSpec differential), shuffle-join plan. */
+  def simhashPairs(fps: DataFrame, id: String, maxDist: Int,
+      bits: Int = 20): DataFrame = {
+    val nBands = maxDist + 1
+    val banded = (0 until nBands).map { b =>
+      val lo = b * bits / nBands
+      val hi = (b + 1) * bits / nBands
+      val mask = (1L << (hi - lo)) - 1L
+      fps.select(col(id).as("doc"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bandBits"))
+    }.reduce(_ unionByName _)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bandBits") === col("b.bandBits") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct() // a pair may agree on several bands
   }
 
   /** Word n-gram shingles via window lead() (portable to SQL oracles).
@@ -123,10 +143,27 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs: candidates = docs sharing >=1 shingle
     * (equi-join on shingle), jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|).
-    * Returns (id_a, id_b, jaccard) for jaccard >= threshold. */
+    * Returns (id_a, id_b, jaccard) for jaccard >= threshold.
+    *
+    * `maxShingleDf` is the hot-shingle skew guard for web-scale corpora: a
+    * stop-trigram shared by 10^6 docs would make the self-join group
+    * quadratic. With a cap, shingles whose document frequency exceeds it
+    * are dropped from the shingle space (both candidate generation AND the
+    * jaccard computation — the measure becomes jaccard over sub-`cap`-df
+    * shingles, which only differs for pairs whose sole overlap is
+    * ubiquitous shingles, i.e. pairs far below any useful threshold). */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(df, id, text, n)
+      n: Int = 3, threshold: Double = 0.6,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, id, text, n)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        // shingles are distinct per doc, so count(*) per shingle == its df
+        val keep = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select(col("shingle"))
+        sh0.join(keep, Seq("shingle"))
+      case None => sh0
+    }
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(id).as("id_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("shingle"))

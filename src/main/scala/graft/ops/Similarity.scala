@@ -27,6 +27,9 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k neighbors of the vector with id `queryId`.
+    * Ordering uses the UNROUNDED cosine (tie-break id) — rounding happens
+    * only in the final projection, so two cosines that round equal can
+    * never flip top-k membership vs an exact-arithmetic oracle.
     * Returns (rank, vec_id, cos) — query row excluded. */
   def knnBrute(emb: DataFrame, id: String, vec: String, queryId: Long,
       k: Int): DataFrame = {
@@ -35,12 +38,12 @@ object Similarity {
     emb.filter(col(id) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", cosine(col(vec), col("qvec")))
-      .select(col(id), round(col("cos"), 6).as("cos"))
+      .select(col(id), col("cos"))
       .orderBy(col("cos").desc, col(id).asc)
       .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cos").desc, col(id).asc)))
-      .select(col("rank"), col(id), col("cos"))
+      .select(col("rank"), col(id), round(col("cos"), 6).as("cos"))
   }
 
   /** Sign-LSH bucket id: `bits` sign bits of the first dims (IVF-style
@@ -62,12 +65,12 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket") && col(id) =!= queryId)
       .withColumn("cos", cosine(col(vec), col("qvec")))
-      .select(col(id), round(col("cos"), 6).as("cos"), col("bucket"))
-      .orderBy(col("cos").desc, col(id).asc)
+      .select(col(id), col("cos"), col("bucket"))
+      .orderBy(col("cos").desc, col(id).asc) // unrounded order, see knnBrute
       .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cos").desc, col(id).asc)))
-      .select(col("rank"), col(id), col("cos"), col("bucket"))
+      .select(col("rank"), col(id), round(col("cos"), 6).as("cos"), col("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to

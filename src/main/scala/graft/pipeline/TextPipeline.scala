@@ -50,16 +50,23 @@ object TextPipeline {
   }
 
   /** T3 normalize_date (cleaner.rs:344-450): try a cascade of formats, emit
-    * UTC `yyyy-MM-dd'T'HH:mm:ss'Z'` or NULL (unparseable dates DROPPED). */
+    * UTC `yyyy-MM-dd'T'HH:mm:ss'Z'` or NULL (unparseable dates DROPPED).
+    * RFC-2822 ("Tue, 15 Aug 2026 10:00:00 +0000" / "... GMT") is the
+    * reference's second arm; Spark 3+ patterns reject day-of-week PARSING,
+    * so the weekday prefix is stripped with a regex and the remainder
+    * parsed with offset/zone-name patterns — same accepted inputs. */
   def normalizeDate(c: Column): Column = {
-    // NOTE: the reference also tries RFC-2822 ("EEE, dd MMM ...") — Spark 3+
-    // datetime patterns reject day-of-week parsing, so that arm is dropped.
-    val formats = Seq(
-      "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss'Z'",
-      "yyyy-MM-dd HH:mm:ss",
+    val isoArms = Seq("yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss'Z'",
+      "yyyy-MM-dd HH:mm:ss")
+    val rfc = regexp_replace(c, "^[A-Za-z]{3},\\s*", "")
+    val rfcArms = Seq("d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss zzz")
+      .map(f => try_to_timestamp(rfc, lit(f)))
+    val tailArms = Seq(
       "yyyy/MM/dd HH:mm:ss", "MM/dd/yyyy hh:mm a", "yyyy-MM-dd",
       "yyyy/MM/dd", "MM/dd/yyyy", "dd MMM yyyy", "MMMM d, yyyy")
-    val ts = coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+    val ts = coalesce(
+      isoArms.map(f => try_to_timestamp(c, lit(f))) ++ rfcArms ++
+        tailArms.map(f => try_to_timestamp(c, lit(f))): _*)
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
   }
 

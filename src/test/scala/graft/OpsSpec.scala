@@ -44,6 +44,50 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhashPairs banded equi-join == naive all-pairs; no cartesian product") {
+    // bigger corpus with genuine near-dups at several hamming distances
+    val many = (0 until 40).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta doc$i"
+      (i.toLong, if (i % 3 == 0) base + " extra tail words" else base)
+    }.toDF("doc_id", "text")
+    val fps = Dedup.simhash(many, "doc_id", "text", bits = 20)
+    for (maxDist <- Seq(0, 2, 5)) {
+      val banded = Dedup.simhashPairs(fps, "doc_id", maxDist, bits = 20)
+      // naive quadratic reference computed driver-side
+      val raw = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = (for {
+        (ia, sa) <- raw; (ib, sb) <- raw
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+      val got = banded.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue())).toSet
+      assert(got == naive, s"banded != naive at maxDist=$maxDist")
+      assert(!banded.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "simhashPairs must not plan a cartesian product")
+    }
+  }
+
+  test("ngram jaccard shingle-df cap: identical results when no shingle is hot") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDf = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    // cap=1 drops every shared shingle -> no candidate pairs at all
+    val cap1 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0,
+      maxShingleDf = Some(1))
+    assert(!cap1.collect().exists(r => Set(r.getLong(0), r.getLong(1)) == Set(0L, 1L)),
+      "df-capped join must not generate candidates from dropped hot shingles")
+  }
+
+  test("minhash: zero-token docs are excluded, not null-signed") {
+    val withEmpty = docs.unionByName(Seq((9L, "!!! ???")).toDF("doc_id", "text"))
+    val sigs = Dedup.minhashSignatures(withEmpty, "doc_id", "text", 4)
+    assert(!sigs.collect().map(_.getLong(0)).contains(9L))
+    assert(sigs.collect().forall(r => !r.isNullAt(1)))
+  }
+
   test("ngram jaccard: near-dups above threshold, unrelated docs absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -26,13 +26,78 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("normalize_date cascade emits UTC Z format or null (T3)") {
-    val r = Seq("2025-08-01T12:30:00Z", "08/15/2025", "March 5, 2024", "garbage")
+    val r = Seq("2025-08-01T12:30:00Z", "08/15/2025", "March 5, 2024", "garbage",
+        "Tue, 15 Jul 2025 10:30:00 +0200", "Mon, 4 Aug 2025 08:00:00 GMT")
       .toDF("d").select(TextPipeline.normalizeDate($"d").as("n"))
       .collect().map(x => Option(x.getString(0)))
     assert(r(0).contains("2025-08-01T12:30:00Z"))
     assert(r(1).contains("2025-08-15T00:00:00Z"))
     assert(r(2).contains("2024-03-05T00:00:00Z"))
     assert(r(3).isEmpty) // unparseable dates are dropped (cleaner.rs:448)
+    // RFC-2822 arm (cleaner.rs:344-450 tries it second)
+    assert(r(4).contains("2025-07-15T08:30:00Z")) // +0200 -> UTC
+    assert(r(5).contains("2025-08-04T08:00:00Z"))
+  }
+
+  test("HTML extraction cascades: title/desc/author/date/canonical/keywords (T15/T11)") {
+    import graft.pipeline.HtmlExtract
+    val html = """<!DOCTYPE html><html><head>
+      |<title>Fallback Title | Site</title>
+      |<meta property="og:title" content="OG Title Wins">
+      |<meta content="desc from meta" name="description">
+      |<meta name="author" content="Ada Lovelace">
+      |<meta property="article:published_time" content="2025-06-01T09:00:00Z">
+      |<link rel="canonical" href="https://ex.org/canon">
+      |<meta name="keywords" content="Spark, search engine , spark,">
+      |</head><body><p>First para.</p></body></html>""".stripMargin
+    val df = Seq(html).toDF("h").select(
+      HtmlExtract.title($"h").as("t"), HtmlExtract.description($"h").as("d"),
+      HtmlExtract.author($"h").as("a"), HtmlExtract.publishedDate($"h").as("p"),
+      HtmlExtract.canonicalUrl($"h").as("c"), HtmlExtract.metaKeywords($"h").as("k"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "OG Title Wins")
+    assert(r.getString(1) == "desc from meta") // reversed attr order handled
+    assert(r.getString(2) == "Ada Lovelace")
+    assert(r.getString(3) == "2025-06-01T09:00:00Z")
+    assert(r.getString(4) == "https://ex.org/canon")
+    assert(r.getSeq[String](5) == Seq("spark", "search engine"))
+
+    // cascade fallbacks: no meta -> <title>; no title -> first h1
+    val minimal = "<html><head><title> Just A Title </title></head><body><h1>H</h1></body></html>"
+    assert(Seq(minimal).toDF("h").select(HtmlExtract.title($"h"))
+      .collect()(0).getString(0) == "Just A Title")
+    val h1only = "<html><body><h1>Only <b>Heading</b></h1><p>x</p></body></html>"
+    assert(Seq(h1only).toDF("h").select(HtmlExtract.title($"h"))
+      .collect()(0).getString(0) == "Only Heading")
+  }
+
+  test("HTML headings + main-content cascade strip noise nodes (T14/F3/F4)") {
+    import graft.pipeline.HtmlExtract
+    val html = """<html><body>
+      |<nav>Home About Contact</nav>
+      |<header>Big Banner</header>
+      |<h1>Main Title</h1><h2>Sub <em>Topic</em></h2><h4>not captured</h4>
+      |<main><p>The real content paragraph lives here.</p>
+      |<script>var x = "noise";</script></main>
+      |<aside>sidebar junk</aside>
+      |<footer>copyright</footer>
+      |</body></html>""".stripMargin
+    val r = Seq(html).toDF("h").select(
+      HtmlExtract.headings($"h").as("hs"), HtmlExtract.mainText($"h").as("m"))
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("Main Title", "Sub Topic"))
+    val main = r.getString(1)
+    assert(main.contains("real content paragraph"))
+    assert(!main.contains("noise") && !main.contains("sidebar") &&
+      !main.contains("Banner") && !main.contains("copyright"))
+    // selector cascade: no <main>/<article> -> content div -> body
+    val divHtml = """<html><body><nav>menu</nav>
+      |<div class="main-content">Div content text</div></body></html>""".stripMargin
+    assert(Seq(divHtml).toDF("h").select(HtmlExtract.mainText($"h"))
+      .collect()(0).getString(0) == "Div content text")
+    val bodyOnly = "<html><body><p>Body fallback text</p></body></html>"
+    assert(Seq(bodyOnly).toDF("h").select(HtmlExtract.mainText($"h"))
+      .collect()(0).getString(0) == "Body fallback text")
   }
 
   test("sentence chunker respects max size + emits indexed chunks (T12)") {
@@ -176,6 +241,48 @@ class PipelineSpec extends AnyFunSuite {
       .select(TextPipeline.highlight($"t", lit("zzz")).as("h"))
       .collect()(0).getString(0)
     assert(miss.startsWith("short text"))
+  }
+
+  test("HTML docs -> extracted title/headings fields -> boosted multi-field search") {
+    import graft.index.IndexBuilder
+    import graft.query.{QueryEngine, SearchIndex}
+    import graft.query.QueryEngine.SearchOpts
+    // the reference's primary shape (opensearch_service.py:198-227):
+    // text_chunk^1.5, headings^3.0, title^2.5 — a doc whose HEADINGS match
+    // must outrank docs with the same term only in body text
+    def page(title: String, heading: String, body: String) =
+      s"""<html><head><title>$title</title></head><body>
+         |<h1>$heading</h1><main><p>$body</p></main></body></html>""".stripMargin
+    val crawl = Seq(
+      (0L, "https://a.example.org/x", page("Plain doc", "General notes",
+        "serialization appears here in the body text with other words serialization")),
+      (1L, "https://b.example.org/y", page("Another doc", "Serialization Guide",
+        "body paragraph about something else entirely with enough words")),
+      (2L, "https://c.example.org/z", page("Third doc", "Unrelated heading",
+        "more body content without the key term at all in this one"))
+    ).toDF("id", "url", "content")
+      .withColumn("domain", lit(null: String)).withColumn("timestamp", lit(null: String))
+    val docs = CrawlSource.toDocuments(crawl.drop("id"))
+      .withColumn("docId",
+        when(col("url").contains("//a."), 0L)
+          .when(col("url").contains("//b."), 1L).otherwise(2L))
+      .withColumn("repo", TextPipeline.domainOf(col("url")))
+      .withColumn("path", col("url")).withColumn("lang", lit("en"))
+      .withColumn("content", col("text"))
+      .withColumn("headings_text", concat_ws(" . ", col("headings")))
+    val dir = "/tmp/graft-test/html-mf-index"
+    IndexBuilder.build(spark, docs.select("docId", "repo", "path", "lang",
+        "content", "title", "headings_text"), dir,
+      IndexBuilder.Params(blockSize = 32, docGroupSize = 128L,
+        fields = Seq("content", "title", "headings_text")))
+    val idx = new SearchIndex(spark, dir)
+    val hits = QueryEngine.search(idx, "serialization",
+      SearchOpts(k = 3, diversity = false,
+        fields = Seq("content" -> 1.5, "headings_text" -> 3.0, "title" -> 2.5)))
+      .collect().map(_.getAs[Long]("docId")).toSeq
+    assert(hits.head == 1L,
+      s"headings^3.0 match must outrank body-only matches, got $hits")
+    assert(hits.contains(0L)) // body match still recalled
   }
 
   test("crawl JSONL -> documents + chunks -> tagged shards -> upsert (S1-S6, §3.2)") {
