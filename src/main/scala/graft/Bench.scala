@@ -58,7 +58,30 @@ object Bench {
       concurrentQps: Double, servingP50Ms: Double, servingP95Ms: Double,
       servingQps: Double, servingParQps: Double,
       postingsEmitted: Double = 0, bytesCompressed: Double = 0,
-      bytesRaw: Double = 0, maxMergeFanIn: Double = 0)
+      bytesRaw: Double = 0, maxMergeFanIn: Double = 0,
+      buildRun1: Double = 0, buildRun2: Double = 0,
+      blocksDecodedPerQuery: Double = 0, blocksTermTotalPerQuery: Double = 0)
+
+  /** Fixed-total-work CPU spin across `threads` threads — the machine's own
+    * compute-scaling ceiling, measured IN the same run so the build's
+    * scaling efficiency can be normalized against what this (shared,
+    * host-throttled) box physically delivers. Perfect scaling => T8/T32=4. */
+  private def spinSec(threads: Int, totalIters: Long = 16_000_000_000L): Double = {
+    val pool = _root_.java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val per = totalIters / threads
+    val t0 = System.nanoTime()
+    val futs = (1 to threads).map { s =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var x = s.toLong; var i = 0L
+          while (i < per) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+          if (x == 42L) System.err.print("") // keep the loop live
+        }
+      })
+    }
+    futs.foreach(_.get()); pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def runAt(cpus: Int, nDocs: Long, seed: Long): RunResult = {
     val spark = session(cpus)
@@ -79,11 +102,12 @@ object Bench {
       // easily exceeds the effect being measured)
       val dir = s"/tmp/graft-bench/index-c$cpus"
       val corpus = CorpusGen.generateDF(spark, nDocs, seed, partitions = cpus * 4)
-      val buildSec = (1 to 2).map { _ =>
+      val buildRuns = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         IndexBuilder.build(spark, corpus, dir, params)
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      val buildSec = buildRuns.min
 
       // ---- query phase: hot index (a long-running search service keeps the
       // index resident, cf. the reference's OpenSearch node)
@@ -95,11 +119,27 @@ object Bench {
 
       QueryEngine.search(index, ReferenceQueries.head, opts).collect() // warm cache
 
+      index.blocksDecoded.reset()
       val lats = ReferenceQueries.zipWithIndex.map { case (q, i) =>
         val s0 = System.nanoTime()
         QueryEngine.search(index, q, opts).collect()
         f"q${i + 1}%02d" -> (System.nanoTime() - s0) / 1e9
       }.toMap
+      // measured WAND decode drop: blocks actually decoded per query vs the
+      // blocks an exhaustive path would decode (all blocks of the query's
+      // terms, from the dictionary's nBlocks metadata)
+      val blocksDecodedPerQuery = index.blocksDecoded.value.toDouble / ReferenceQueries.size
+      val allTerms = ReferenceQueries
+        .flatMap(q => graft.core.Analyzer.distinctQueryTerms(q)).distinct
+      val nBlocksByTerm = index.dictionary
+        .filter(org.apache.spark.sql.functions.col("field") === "content" &&
+          org.apache.spark.sql.functions.col("term").isin(allTerms: _*))
+        .select("term", "nBlocks").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val blocksTermTotalPerQuery = ReferenceQueries.map(q =>
+        graft.core.Analyzer.distinctQueryTerms(q)
+          .map(t => nBlocksByTerm.getOrElse(t, 0L)).sum.toDouble)
+        .sum / ReferenceQueries.size
 
       // concurrent throughput: 4 waves of the 12 queries in flight at once
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -150,7 +190,9 @@ object Bench {
         met.getAs[Long]("postingsEmitted").toDouble,
         met.getAs[Long]("bytesCompressed").toDouble,
         met.getAs[Long]("bytesRawEstimate").toDouble,
-        met.getAs[Long]("maxMergeFanIn").toDouble)
+        met.getAs[Long]("maxMergeFanIn").toDouble,
+        buildRuns(0), buildRuns(1),
+        blocksDecodedPerQuery, blocksTermTotalPerQuery)
     } finally spark.stop()
   }
 
@@ -158,15 +200,17 @@ object Bench {
   private def encode(r: RunResult): String =
     (Seq(r.buildSec, r.filesPerSec, r.p50, r.p95, r.concurrentQps,
       r.servingP50Ms, r.servingP95Ms, r.servingQps, r.servingParQps,
-      r.postingsEmitted, r.bytesCompressed, r.bytesRaw, r.maxMergeFanIn) ++
+      r.postingsEmitted, r.bytesCompressed, r.bytesRaw, r.maxMergeFanIn,
+      r.buildRun1, r.buildRun2, r.blocksDecodedPerQuery,
+      r.blocksTermTotalPerQuery) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(13).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(17).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
-      xs(9), xs(10), xs(11), xs(12))
+      xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -218,6 +262,14 @@ object Bench {
       return
     }
 
+    // machine calibration IN the artifact (north rule at two cluster sizes
+    // can't use a real cluster here; this records what the box itself
+    // delivers so the recorded efficiency is interpretable): pure-CPU spin
+    // throughput scaling 8 -> 32 threads, best of 2 per level.
+    val spin8 = (1 to 2).map(_ => spinSec(8)).min
+    val spin32 = (1 to 2).map(_ => spinSec(32)).min
+    val spinEff = (spin8 / spin32) / 4.0
+
     val low = runIsolated(8, nDocs, seed)    // N
     val high = runIsolated(32, nDocs, seed)  // 4N
     val effBuild = (low.buildSec / high.buildSec) / 4.0
@@ -245,8 +297,27 @@ object Bench {
         "bytes_raw_estimate" -> high.bytesRaw,
         "compression_ratio" -> (if (high.bytesCompressed > 0) high.bytesRaw / high.bytesCompressed else 0.0),
         "max_merge_fan_in" -> high.maxMergeFanIn,
+        // per-run spread (IO/page-cache noise on a shared box) — the min is
+        // the reported build_sec; both runs recorded for interpretability
+        "build_sec_c8_run1" -> low.buildRun1,
+        "build_sec_c8_run2" -> low.buildRun2,
+        "build_sec_c32_run1" -> high.buildRun1,
+        "build_sec_c32_run2" -> high.buildRun2,
+        // WAND decode drop, measured: blocks decoded per query vs blocks an
+        // exhaustive path would decode (all blocks of the query's terms)
+        "blocks_decoded_per_query_c32" -> high.blocksDecodedPerQuery,
+        "blocks_term_total_per_query_c32" -> high.blocksTermTotalPerQuery,
+        "wand_block_skip_ratio" -> (if (high.blocksTermTotalPerQuery > 0)
+          1.0 - high.blocksDecodedPerQuery / high.blocksTermTotalPerQuery else 0.0),
+        // this box's own compute-scaling ceiling (fixed-work CPU spin):
+        // normalized build efficiency = raw / ceiling
+        "cpu_spin_eff_8to32" -> spinEff,
         "scaling_eff_build_8to32" -> effBuild,
-        "scaling_eff_query_8to32" -> effQuery)
+        "scaling_eff_build_8to32_normalized" ->
+          (if (spinEff > 0) effBuild / spinEff else 0.0),
+        "scaling_eff_query_8to32" -> effQuery,
+        "scaling_eff_query_8to32_normalized" ->
+          (if (spinEff > 0) effQuery / spinEff else 0.0))
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = low.buildSec + high.buildSec +
       low.latencies.values.sum + high.latencies.values.sum

@@ -35,6 +35,13 @@ object ExplainDump {
     val dict = index.dictionary
       .filter(col("field") === "content" && col("term").isin("python", "tutorial"))
       .select("field", "term", "df")
+    // the probe fuzzyExpand issues: tlen (the dictionary's partition key)
+    // must appear in PartitionFilters — pruned dirs, not a data filter
+    val fuzzy = index.dictionary
+      .filter(col("tlen").isin(5, 6, 7))
+      .filter(col("field") === "content" &&
+        levenshtein(col("term"), lit("pythn")) <= 1)
+      .select("term")
 
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
@@ -51,7 +58,10 @@ object ExplainDump {
        |4. the doc-metadata join broadcasts the tiny top-m side
        |   (`BroadcastHashJoin`) into the big docs table;
        |5. the dictionary lookup prunes to three columns and pushes both
-       |   predicates.
+       |   predicates;
+       |6. fuzzy expansion's dictionary probe prunes on the tlen PARTITION
+       |   key (`PartitionFilters`) — levenshtein runs only inside the
+       |   matching length bands, never over the whole vocabulary.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |
@@ -75,6 +85,12 @@ object ExplainDump {
        |
        |```
        |${fmt(dict)}
+       |```
+       |
+       |## 6. Fuzzy expansion probe (tlen partition pruning)
+       |
+       |```
+       |${fmt(fuzzy)}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

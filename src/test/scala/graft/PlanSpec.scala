@@ -49,6 +49,26 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(top).contains("TakeOrderedAndProject"))
   }
 
+  test("fuzzy expansion probes the dictionary through tlen partition pruning") {
+    import org.apache.spark.sql.functions._
+    // the probe fuzzyExpand issues: tlen isin + per-term levenshtein. The
+    // tlen predicate must land in PartitionFilters (pruned dirs), not in
+    // the data filter — O(matching length bands), not O(vocab).
+    val probe = index.dictionary
+      .filter(col("tlen").isin(5, 6, 7))
+      .filter(col("field") === "content" &&
+        levenshtein(col("term"), lit("pythn")) <= 1)
+      .select("term")
+    val plan = planOf(probe)
+    val partFilters = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(partFilters.contains("tlen"),
+      s"tlen not in PartitionFilters:\n${plan.take(3000)}")
+    // and the expansion itself still finds the misspelled term's neighbor
+    val expanded = QueryEngine.fuzzyExpand(index, "pythn tutorial")
+    assert(expanded.contains("python"), s"got $expanded")
+  }
+
   test("dictionary lookup scan prunes columns and pushes the term filter") {
     import org.apache.spark.sql.functions._
     val df = index.dictionary
