@@ -70,6 +70,92 @@ object TextPipeline {
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
   }
 
+  /** JVM twin of [[normalizeDate]] (same arms, same output) for use inside
+    * tree-walking code where a Column can't reach (T4). Kept in lockstep by
+    * a PipelineSpec differential over shared fixtures. */
+  def normalizeDateStr(s0: String): Option[String] = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    import scala.util.Try
+    if (s0 == null) return None
+    val s = s0.trim
+    if (s.isEmpty) return None
+    val loc = java.util.Locale.US
+    def fmt(p: String) = DateTimeFormatter.ofPattern(p, loc)
+    val rfc = s.replaceFirst("^[A-Za-z]{3},\\s*", "")
+    val arms: Seq[() => Option[Instant]] = Seq(
+      () => Try(OffsetDateTime.parse(s, fmt("yyyy-MM-dd'T'HH:mm:ssXXX")).toInstant).toOption,
+      () => Try(LocalDateTime.parse(s, fmt("yyyy-MM-dd'T'HH:mm:ss'Z'")).toInstant(ZoneOffset.UTC)).toOption,
+      () => Try(LocalDateTime.parse(s, fmt("yyyy-MM-dd HH:mm:ss")).toInstant(ZoneOffset.UTC)).toOption,
+      () => Try(OffsetDateTime.parse(rfc, fmt("d MMM yyyy HH:mm:ss Z")).toInstant).toOption,
+      () => Try(ZonedDateTime.parse(rfc, fmt("d MMM yyyy HH:mm:ss zzz")).toInstant).toOption,
+      () => Try(LocalDateTime.parse(s, fmt("yyyy/MM/dd HH:mm:ss")).toInstant(ZoneOffset.UTC)).toOption,
+      () => Try(LocalDateTime.parse(s, fmt("MM/dd/yyyy hh:mm a")).toInstant(ZoneOffset.UTC)).toOption,
+      () => Try(LocalDate.parse(s, fmt("yyyy-MM-dd")).atStartOfDay(ZoneOffset.UTC).toInstant).toOption,
+      () => Try(LocalDate.parse(s, fmt("yyyy/MM/dd")).atStartOfDay(ZoneOffset.UTC).toInstant).toOption,
+      () => Try(LocalDate.parse(s, fmt("MM/dd/yyyy")).atStartOfDay(ZoneOffset.UTC).toInstant).toOption,
+      () => Try(LocalDate.parse(s, fmt("dd MMM yyyy")).atStartOfDay(ZoneOffset.UTC).toInstant).toOption,
+      () => Try(LocalDate.parse(s, fmt("MMMM d, yyyy")).atStartOfDay(ZoneOffset.UTC).toInstant).toOption)
+    arms.view.flatMap(_()).headOption.map(i =>
+      DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(ZoneOffset.UTC).format(i))
+  }
+
+  /** T4 recursive JSON date cleaning (cleaner.rs:453-520): walk a JSON
+    * tree; string values under date-suggesting keys (contains date/time/
+    * published/modified/created/updated/buildtime) are normalized via the
+    * T3 cascade, unparseable ones are REMOVED; objects/arrays are walked
+    * recursively. Invalid JSON -> None (as the reference's clean_json_dates
+    * returns None). */
+  def cleanJsonDates(json: String): Option[String] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
+    val dateHints = Seq("date", "time", "published", "modified", "created",
+      "updated", "buildtime")
+    def isDateKey(k: String): Boolean = {
+      val l = k.toLowerCase(java.util.Locale.ROOT)
+      dateHints.exists(l.contains)
+    }
+    def walk(node: JsonNode): Unit = node match {
+      case obj: ObjectNode =>
+        obj.fieldNames().asScala.toList.foreach { k =>
+          val v = obj.get(k)
+          if (isDateKey(k) && v != null && v.isTextual) {
+            normalizeDateStr(v.asText()) match {
+              case Some(n) => obj.put(k, n); ()
+              case None => obj.remove(k); ()
+            }
+          } else if (v != null) walk(v)
+        }
+      case arr: ArrayNode => arr.asScala.foreach(walk)
+      case _ => ()
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    scala.util.Try(mapper.readTree(json)).toOption
+      .filter(n => n != null && (n.isObject || n.isArray))
+      .map { root => walk(root); mapper.writeValueAsString(root) }
+  }
+
+  /** Column form of T4 for a structured_data JSON column. */
+  def cleanJsonDatesCol: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => cleanJsonDates(s))
+
+  /** T20 URL resolution (optimized.rs:371-386, reference-exact semantics):
+    * http... -> as-is; //h/p -> https: prefix; /p -> base scheme://host + p
+    * (host WITHOUT port, matching url::Url::host_str; unparseable base ->
+    * href unchanged); else base minus trailing slashes + "/" + href. */
+  def resolveUrl(href: Column, base: Column): Column = {
+    val parsedOk = base.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+")
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val host = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    when(href.startsWith("http"), href)
+      .when(href.startsWith("//"), concat(lit("https:"), href))
+      .when(href.startsWith("/"),
+        when(parsedOk, concat(scheme, lit("://"), host, href)).otherwise(href))
+      .otherwise(concat(regexp_replace(base, "/+$", ""), lit("/"), href))
+  }
+
   // -------------------------------------------------------------- filters
 
   /** S4 row validation gate (data_pipeline/file_reader.py:134-180): valid

@@ -39,6 +39,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(5).contains("2025-08-04T08:00:00Z"))
   }
 
+  test("normalizeDateStr (JVM) == normalizeDate (Column) on shared fixtures") {
+    val fixtures = Seq("2025-08-01T12:30:00Z", "2025-08-01T12:30:00+02:00",
+      "2025-08-01 06:15:00", "Tue, 15 Jul 2025 10:30:00 +0200",
+      "Mon, 4 Aug 2025 08:00:00 GMT", "2024/03/05", "08/15/2025",
+      "15 Aug 2025", "March 5, 2024", "03/05/2024 07:30 PM", "garbage", "")
+    val viaColumn = fixtures.toDF("d")
+      .select(TextPipeline.normalizeDate($"d").as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    val viaJvm = fixtures.map(TextPipeline.normalizeDateStr)
+    fixtures.lazyZip(viaColumn).lazyZip(viaJvm).foreach { (f, c, j) =>
+      assert(c == j, s"column/JVM date normalizer diverge on '$f': $c vs $j")
+    }
+  }
+
+  test("recursive JSON date cleaning normalizes hits, drops misses (T4)") {
+    val json = """{"datePublished":"March 5, 2024","author":{"name":"x","created":"bad-date"},
+      |"items":[{"dateModified":"2025-08-01T12:30:00+02:00"},{"note":"keep"}],
+      |"buildTime":"08/15/2025","plain":"not touched"}""".stripMargin.replace("\n", "")
+    val out = TextPipeline.cleanJsonDates(json).get
+    assert(out.contains(""""datePublished":"2024-03-05T00:00:00Z""""))
+    assert(out.contains(""""dateModified":"2025-08-01T10:30:00Z"""")) // +02:00 -> UTC
+    assert(out.contains(""""buildTime":"2025-08-15T00:00:00Z""""))
+    assert(!out.contains("created")) // unparseable date key removed
+    assert(out.contains(""""plain":"not touched"""") && out.contains(""""note":"keep""""))
+    assert(TextPipeline.cleanJsonDates("not json {{{").isEmpty)
+    // column form over a DataFrame
+    val viaCol = Seq(json).toDF("j")
+      .select(TextPipeline.cleanJsonDatesCol($"j").as("c")).collect()(0).getString(0)
+    assert(viaCol == out)
+  }
+
+  test("URL resolution mirrors the reference's resolve_url arms (T20)") {
+    val cases = Seq(
+      ("http://x.org/abs", "https://base.org/dir/page", "http://x.org/abs"),
+      ("//cdn.x.org/a.js", "https://base.org/dir/page", "https://cdn.x.org/a.js"),
+      ("/root.css", "https://base.org:8080/dir/page", "https://base.org/root.css"),
+      ("/root.css", "notaurl", "/root.css"),
+      ("rel/img.png", "https://base.org/dir/", "https://base.org/dir/rel/img.png"))
+    val got = cases.map { case (h, b, _) => (h, b) }.toDF("h", "b")
+      .select(TextPipeline.resolveUrl($"h", $"b").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._3), s"got $got")
+  }
+
   test("HTML extraction cascades: title/desc/author/date/canonical/keywords (T15/T11)") {
     import graft.pipeline.HtmlExtract
     val html = """<!DOCTYPE html><html><head>
