@@ -60,7 +60,9 @@ object Bench {
       postingsEmitted: Double = 0, bytesCompressed: Double = 0,
       bytesRaw: Double = 0, maxMergeFanIn: Double = 0,
       buildRun1: Double = 0, buildRun2: Double = 0,
-      blocksDecodedPerQuery: Double = 0, blocksTermTotalPerQuery: Double = 0)
+      blocksDecodedPerQuery: Double = 0, blocksTermTotalPerQuery: Double = 0,
+      servingBlocksDecodedPerQuery: Double = 0,
+      servingDocsScoredPerQuery: Double = 0, postingsTermTotalPerQuery: Double = 0)
 
   /** Fixed-total-work CPU spin across `threads` threads — the machine's own
     * compute-scaling ceiling, measured IN the same run so the build's
@@ -131,15 +133,17 @@ object Bench {
       val blocksDecodedPerQuery = index.blocksDecoded.value.toDouble / ReferenceQueries.size
       val allTerms = ReferenceQueries
         .flatMap(q => graft.core.Analyzer.distinctQueryTerms(q)).distinct
-      val nBlocksByTerm = index.dictionary
+      val dictByTerm = index.dictionary
         .filter(org.apache.spark.sql.functions.col("field") === "content" &&
           org.apache.spark.sql.functions.col("term").isin(allTerms: _*))
-        .select("term", "nBlocks").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val blocksTermTotalPerQuery = ReferenceQueries.map(q =>
-        graft.core.Analyzer.distinctQueryTerms(q)
-          .map(t => nBlocksByTerm.getOrElse(t, 0L)).sum.toDouble)
+        .select("term", "nBlocks", "df").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def perQueryAvg(f: String => Long): Double = ReferenceQueries.map(q =>
+        graft.core.Analyzer.distinctQueryTerms(q).map(f).sum.toDouble)
         .sum / ReferenceQueries.size
+      val blocksTermTotalPerQuery = perQueryAvg(t => dictByTerm.get(t).map(_._1).getOrElse(0L))
+      // exhaustive scores one doc per posting: Σ df over the query's terms
+      val postingsTermTotalPerQuery = perQueryAvg(t => dictByTerm.get(t).map(_._2).getOrElse(0L))
 
       // concurrent throughput: 4 waves of the 12 queries in flight at once
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -157,6 +161,14 @@ object Bench {
       // scoring code, no Spark job per query
       val li = graft.query.LocalSearcher.load(index)
       ReferenceQueries.foreach(q => graft.query.LocalSearcher.search(li, q, opts))
+      // serving-side WAND pruning probe: one heap over ALL docGroups
+      // sequentially, so block skips actually occur (the distributed path's
+      // local-mode partitions see ~1 group each and cannot prune)
+      li.decodeCount.set(0L)
+      li.scoredCount.set(0L)
+      ReferenceQueries.foreach(q => graft.query.LocalSearcher.search(li, q, opts))
+      val servingBlocksPerQuery = li.decodeCount.get.toDouble / ReferenceQueries.size
+      val servingScoredPerQuery = li.scoredCount.get.toDouble / ReferenceQueries.size
       val servingTimes = (1 to 5).flatMap { _ =>
         ReferenceQueries.map { q =>
           val t0 = System.nanoTime()
@@ -192,7 +204,8 @@ object Bench {
         met.getAs[Long]("bytesRawEstimate").toDouble,
         met.getAs[Long]("maxMergeFanIn").toDouble,
         buildRuns(0), buildRuns(1),
-        blocksDecodedPerQuery, blocksTermTotalPerQuery)
+        blocksDecodedPerQuery, blocksTermTotalPerQuery,
+        servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery)
     } finally spark.stop()
   }
 
@@ -202,15 +215,17 @@ object Bench {
       r.servingP50Ms, r.servingP95Ms, r.servingQps, r.servingParQps,
       r.postingsEmitted, r.bytesCompressed, r.bytesRaw, r.maxMergeFanIn,
       r.buildRun1, r.buildRun2, r.blocksDecodedPerQuery,
-      r.blocksTermTotalPerQuery) ++
+      r.blocksTermTotalPerQuery, r.servingBlocksDecodedPerQuery,
+      r.servingDocsScoredPerQuery, r.postingsTermTotalPerQuery) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(17).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(20).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
-      xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16))
+      xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16), xs(17),
+      xs(18), xs(19))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -309,6 +324,18 @@ object Bench {
         "blocks_term_total_per_query_c32" -> high.blocksTermTotalPerQuery,
         "wand_block_skip_ratio" -> (if (high.blocksTermTotalPerQuery > 0)
           1.0 - high.blocksDecodedPerQuery / high.blocksTermTotalPerQuery else 0.0),
+        // serving path: ONE heap over all groups sequentially — where WAND
+        // skips actually bite (local-mode partitions see ~1 group each)
+        "serving_blocks_decoded_per_query_c32" -> high.servingBlocksDecodedPerQuery,
+        "serving_wand_skip_ratio" -> (if (high.blocksTermTotalPerQuery > 0)
+          1.0 - high.servingBlocksDecodedPerQuery / high.blocksTermTotalPerQuery else 0.0),
+        // docs actually SCORED vs the postings an exhaustive pass scores
+        // (Σ df of the query's terms) — where WAND pruning shows when blocks
+        // span wide docId ranges and block decodes can't drop
+        "serving_docs_scored_per_query_c32" -> high.servingDocsScoredPerQuery,
+        "postings_term_total_per_query_c32" -> high.postingsTermTotalPerQuery,
+        "serving_wand_doc_skip_ratio" -> (if (high.postingsTermTotalPerQuery > 0)
+          1.0 - high.servingDocsScoredPerQuery / high.postingsTermTotalPerQuery else 0.0),
         // this box's own compute-scaling ceiling (fixed-work CPU spin):
         // normalized build efficiency = raw / ceiling
         "cpu_spin_eff_8to32" -> spinEff,

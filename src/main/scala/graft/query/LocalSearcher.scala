@@ -14,10 +14,13 @@ import graft.query.QueryEngine.SearchOpts
   * is microseconds-to-milliseconds.
   *
   * Scale posture: this is the QUERY-SERVICE tier, not the build tier. A
-  * 10^12-file deployment shards this loader by docGroup ranges across
-  * serving nodes (each node loads its groups' blocks; results merge by
-  * (score, docId) — exactly the per-partition-heap merge the distributed
-  * path already implements). The sandbox demonstrates one shard.
+  * 10^12-file deployment shards this loader by docGroup across serving
+  * nodes — implemented here as [[loadSharded]]/[[searchSharded]]: each
+  * shard loads ONLY its docGroups (partition-pruned scan), scores with the
+  * same code against global stats, and the scatter-gather merge by
+  * (score, docId) is provably identical to one resident index (LocalSpec
+  * differential) — exactly the per-partition-heap merge the distributed
+  * path already implements.
   */
 object LocalSearcher {
 
@@ -27,8 +30,27 @@ object LocalSearcher {
   case class Hit(rank: Int, docId: Long, score: Double, repo: String,
       path: String, lang: String, qualityScore: Double, repoScore: Double)
 
-  /** In-memory image of an index dir (blocks remain varint-compressed). */
-  final class LocalIndex(index: SearchIndex) {
+  /** In-memory image of an index dir (blocks remain varint-compressed).
+    * With `shard = Some((i, n))` the image holds only docGroups with
+    * `docGroup % n == i` — the loading scan is partition-pruned on the
+    * docGroup partition key, so a serving node reads ONLY its shard's
+    * bytes. Dictionary and corpus stats stay global (tiny, and required so
+    * every shard computes bit-identical scores). */
+  final class LocalIndex(index: SearchIndex, shard: Option[(Int, Int)] = None) {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    private def shardFilter(c: org.apache.spark.sql.Column) = shard match {
+      case Some((i, n)) => pmod(c, lit(n.toLong)) === i.toLong
+      case None => lit(true)
+    }
+    /** Blocks decoded by searches on this image (the WAND-pruning probe:
+      * the serving path runs ONE heap over all groups sequentially, so
+      * whole-group and in-group skips actually bite here — unlike the
+      * distributed path, where local-mode partitions see ~1 group each). */
+    val decodeCount = new _root_.java.util.concurrent.atomic.AtomicLong(0L)
+    /** Docs actually scored (vs exhaustive = every posting of the query's
+      * terms) — on corpora where blocks span wide docId ranges this is the
+      * counter where WAND pruning shows, not block decodes. */
+    val scoredCount = new _root_.java.util.concurrent.atomic.AtomicLong(0L)
     val stats: Map[String, (Long, Double)] = index.stats
     val dict: Map[(String, String), Long] =
       index.dictionary.select("field", "term", "df").collect()
@@ -37,10 +59,10 @@ object LocalSearcher {
       * of an incrementally-grown group restart blockIdx, so firstDocId is
       * the global within-group order. */
     val blocks: Map[(String, String), Array[BlockRow]] = {
-      import org.apache.spark.sql.functions.col
       val sp = index.spark
       import sp.implicits._
       index.postings
+        .filter(shardFilter(col("docGroup")))
         .select(col("field"), col("term"), col("docGroup").cast("long").as("docGroup"),
           col("blockIdx"), col("firstDocId"), col("lastDocId"), col("n"),
           col("sumTf"), col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
@@ -51,7 +73,9 @@ object LocalSearcher {
         .view.mapValues(_.sortBy(b => (b.docGroup, b.firstDocId, b.blockIdx))).toMap
     }
     val docs: Map[Long, DocMeta] =
-      index.docs.select("docId", "repo", "path", "lang", "qualityScore", "repoScore")
+      index.docs
+        .filter(shardFilter(col("docGroup")))
+        .select("docId", "repo", "path", "lang", "qualityScore", "repoScore")
         .collect()
         .map(r => r.getLong(0) -> DocMeta(r.getString(1), r.getString(2),
           r.getString(3), r.getDouble(4), r.getDouble(5))).toMap
@@ -59,8 +83,26 @@ object LocalSearcher {
 
   def load(index: SearchIndex): LocalIndex = new LocalIndex(index)
 
-  /** Mirrors QueryEngine.search step-for-step on the serving thread. */
-  def search(li: LocalIndex, query: String, opts: SearchOpts = SearchOpts()): Seq[Hit] = {
+  /** The multi-node serving topology in miniature: `n` shards, each
+    * holding only its docGroups (loaded partition-pruned). A query fans
+    * out, each shard runs the SAME scoring code over its groups, and the
+    * merge keeps global top-(k·overfetch) by (score desc, docId asc) —
+    * rank- and score-identical to a single resident index (LocalSpec). */
+  final class ShardedIndex(val shards: IndexedSeq[LocalIndex]) {
+    def docMeta(docId: Long): DocMeta =
+      shards.view.flatMap(_.docs.get(docId)).head
+  }
+
+  def loadSharded(index: SearchIndex, nShards: Int): ShardedIndex =
+    new ShardedIndex((0 until nShards)
+      .map(i => new LocalIndex(index, Some((i, nShards)))))
+
+  /** Per-shard candidate scoring: the heap's top-(k·overfetch)
+    * (docId, score) pairs. Scores depend only on GLOBAL stats/df (held by
+    * every shard), so per-shard candidates merge into exactly the global
+    * candidate set. */
+  private def scoredCandidates(li: LocalIndex, query: String,
+      opts: SearchOpts): Seq[(Long, Double)] = {
     val terms = Analyzer.distinctQueryTerms(query).sorted
     if (terms.isEmpty) return Seq.empty
     val fieldNames = opts.fields.map(_._1)
@@ -88,16 +130,21 @@ object LocalSearcher {
     val m = opts.k * opts.overfetch
     val heap = new QueryEngine.BoundedTopK(m)
     val allBlocks = dfs.keys.toSeq.flatMap(k => li.blocks.getOrElse(k, Array.empty[BlockRow]))
+    val onDecode: () => Unit = () => { li.decodeCount.incrementAndGet(); () }
     allBlocks.groupBy(_.docGroup).toSeq.sortBy(_._1).foreach { case (_, grp) =>
       QueryEngine.scoreGroup(grp, weights, avgdls, opts.bm25, heap, phraseOn,
-        pTerms, opts.phraseField, opts.phraseBoost, phraseIdf, phraseUb)
+        pTerms, opts.phraseField, opts.phraseBoost, phraseIdf, phraseUb, onDecode)
     }
+    li.scoredCount.addAndGet(heap.scored)
+    heap.results
+  }
 
-    val top = heap.results.sortBy { case (d, s) => (-s, d) }.take(m)
-    val composite = top.map { case (d, s) => (d, s, li.docs(d)) }
-      .sortBy { case (d, s, meta) =>
-        (-s, -meta.qualityScore, -meta.repoScore, d)
-      }
+  /** Shared pagination: composite sort + diversity + rank assignment
+    * (mirrors QueryEngine.search steps 3-5). */
+  private def paginate(top: Seq[(Long, Double)], meta: Long => DocMeta,
+      opts: SearchOpts): Seq[Hit] = {
+    val composite = top.map { case (d, s) => (d, s, meta(d)) }
+      .sortBy { case (d, s, m) => (-s, -m.qualityScore, -m.repoScore, d) }
     val page =
       if (!opts.diversity) composite.take(opts.k)
       else {
@@ -111,9 +158,28 @@ object LocalSearcher {
         }
         (p0 ++ p1).take(opts.k).toSeq
       }
-    page.zipWithIndex.map { case ((d, s, meta), i) =>
-      Hit(i + 1, d, s, meta.repo, meta.path, meta.lang,
-        meta.qualityScore, meta.repoScore)
+    page.zipWithIndex.map { case ((d, s, m), i) =>
+      Hit(i + 1, d, s, m.repo, m.path, m.lang, m.qualityScore, m.repoScore)
     }
+  }
+
+  /** Mirrors QueryEngine.search step-for-step on the serving thread. */
+  def search(li: LocalIndex, query: String, opts: SearchOpts = SearchOpts()): Seq[Hit] = {
+    val m = opts.k * opts.overfetch
+    val top = scoredCandidates(li, query, opts)
+      .sortBy { case (d, s) => (-s, d) }.take(m)
+    paginate(top, li.docs(_), opts)
+  }
+
+  /** Scatter-gather search over serving shards: per-shard top-m heaps,
+    * global merge by (score desc, docId asc), shared pagination — the
+    * global top-m is always contained in the union of per-shard top-m, so
+    * results are identical to [[search]] on an unsharded index. */
+  def searchSharded(si: ShardedIndex, query: String,
+      opts: SearchOpts = SearchOpts()): Seq[Hit] = {
+    val m = opts.k * opts.overfetch
+    val merged = si.shards.flatMap(s => scoredCandidates(s, query, opts))
+      .sortBy { case (d, s) => (-s, d) }.take(m)
+    paginate(merged, si.docMeta, opts)
   }
 }

@@ -367,9 +367,14 @@ object QueryEngine {
       case (d, s) => (-s, d)
     }
     private val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worseFirst)
+    /** docs actually scored (heap.add calls) — the WAND pruning metric:
+      * exhaustive scores every posting's doc; WAND skips the ones whose
+      * bound can't reach the floor. */
+    var scored: Long = 0L
     def full: Boolean = pq.size >= m
     def floor: Double = if (full) pq.head._2 else Double.NegativeInfinity
     def add(docId: Long, s: Double): Unit = {
+      scored += 1
       if (!full) pq.enqueue((docId, s))
       else {
         val (wd, ws) = pq.head
@@ -401,6 +406,10 @@ object QueryEngine {
     }
     def exhausted: Boolean = bi >= blockList.length
     def remainingUb: Double = if (exhausted) 0.0 else math.max(0.0, suffixUb(bi))
+    /** Exact UB of this term's contribution to any doc in the CURRENT block
+      * (may be negative under negative idf) — the block-max refinement. */
+    def currentBlockUb: Double = blockUbs(bi)
+    def currentBlockLast: Long = blockList(bi).lastDocId
     private def ensureDecoded(): Unit =
       if (decoded == null) {
         val b = blockList(bi)
@@ -492,23 +501,51 @@ object QueryEngine {
         else {
           val pivotDoc = sorted(pivotIdx).currentDoc
           if (sorted.head.currentDoc == pivotDoc) {
-            var score = 0.0
-            var phrasePositions: Map[String, Array[Int]] = Map.empty
-            var dlPhrase = 0
-            cursors.foreach { c =>
-              if (!c.exhausted && c.currentDoc == pivotDoc) {
-                score += c.contributionAtCurrent
-                if (phraseOn && c.field == pf && pTerms.contains(c.term)) {
-                  phrasePositions += (c.term -> c.currentPosting.positions)
-                  dlPhrase = c.currentPosting.dl
+            // BLOCK-MAX refinement (the "block-max" in block-max WAND): the
+            // pivot selection above used term-level suffix maxima; here the
+            // pivot's score is bounded by its ACTUAL current blocks' UBs.
+            // If that exact bound can't reach the floor (strict — ties must
+            // still be scored), every doc up to the nearest block boundary
+            // is equally bounded, so skip there without decoding anything:
+            // docs in [pivot, dNext) get contributions only from the
+            // aligned cursors' current blocks (non-aligned cursors hold no
+            // doc below their currentDoc), all bounded by the same blockUbs.
+            val aligned = sorted.filter(_.currentDoc == pivotDoc)
+            // the pivot doc contains ALL aligned terms, so signed blockUbs
+            // sum to an exact bound for it; docs AFTER the pivot may lack a
+            // negative-idf term, so the range bound clamps each blockUb at 0
+            val pivotU = aligned.map(_.currentBlockUb).sum + phraseUb
+            if (heap.full && pivotU < heap.floor) {
+              val rangeU = aligned.map(c => math.max(0.0, c.currentBlockUb)).sum + phraseUb
+              var dNext =
+                if (rangeU < heap.floor) aligned.map(_.currentBlockLast).min + 1
+                else pivotDoc + 1 // only the pivot itself is provably out
+              var j = 0
+              while (j < sorted.length) {
+                val cd = sorted(j).currentDoc
+                if (cd > pivotDoc && cd < dNext) dNext = cd
+                j += 1
+              }
+              aligned.foreach(_.advanceTo(dNext))
+            } else {
+              var score = 0.0
+              var phrasePositions: Map[String, Array[Int]] = Map.empty
+              var dlPhrase = 0
+              cursors.foreach { c =>
+                if (!c.exhausted && c.currentDoc == pivotDoc) {
+                  score += c.contributionAtCurrent
+                  if (phraseOn && c.field == pf && pTerms.contains(c.term)) {
+                    phrasePositions += (c.term -> c.currentPosting.positions)
+                    dlPhrase = c.currentPosting.dl
+                  }
                 }
               }
+              if (phraseOn)
+                score += phraseScore(pTerms, phrasePositions, dlPhrase,
+                  avgdls(pf), pb, phraseIdf, p)
+              heap.add(pivotDoc, score)
+              cursors.foreach(c => if (!c.exhausted && c.currentDoc == pivotDoc) c.advance())
             }
-            if (phraseOn)
-              score += phraseScore(pTerms, phrasePositions, dlPhrase,
-                avgdls(pf), pb, phraseIdf, p)
-            heap.add(pivotDoc, score)
-            cursors.foreach(c => if (!c.exhausted && c.currentDoc == pivotDoc) c.advance())
           } else {
             sorted.take(pivotIdx).foreach(_.advanceTo(pivotDoc))
           }

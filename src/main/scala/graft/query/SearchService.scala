@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *   6. phase-2 analytics: insights (A1), top domains, template summary (X7).
   *
   * Rerank (X6) stays off by default for rank parity with R8 (SURVEY §7.5).
+  *
+  * Result caching mirrors the reference's query-result LRU (1000 entries,
+  * key `search:{query}:{limit}`, enhanced_search_service.py:352-376): pass
+  * `cache = Some(SearchService.newCache())` and repeated queries return the
+  * cached Response with `fromCache = true` — the reference's integration
+  * matrix (final_integration_test.py:44-63) checks exactly this flag.
   */
 object SearchService {
 
@@ -31,13 +37,35 @@ object SearchService {
       usedFallback: Boolean,
       totalResults: Long,
       uniqueRepos: Long,
-      summary: String)
+      summary: String,
+      fromCache: Boolean = false)
+
+  /** LRU of the reference's size (access-order LinkedHashMap, synchronized —
+    * the serving tier is a handful of threads, not a hot lock). */
+  final class QueryCache(maxEntries: Int = 1000) {
+    private val m = new _root_.java.util.LinkedHashMap[String, Response](
+        16, 0.75f, true) {
+      override def removeEldestEntry(e: _root_.java.util.Map.Entry[String, Response]): Boolean =
+        size() > maxEntries
+    }
+    def get(k: String): Option[Response] = m.synchronized(Option(m.get(k)))
+    def put(k: String, v: Response): Unit = m.synchronized { m.put(k, v); () }
+    def size: Int = m.synchronized(m.size())
+  }
+
+  def newCache(maxEntries: Int = 1000): QueryCache = new QueryCache(maxEntries)
 
   def search(index: SearchIndex, rawQuery: String,
       opts: SearchOpts = SearchOpts(),
-      expand: Boolean = false, fuzzy: Boolean = false): Option[Response] = {
+      expand: Boolean = false, fuzzy: Boolean = false,
+      cache: Option[QueryCache] = None): Option[Response] = {
+    val cacheKey = s"search:$rawQuery:${opts.k}" // reference key shape
+    cache.flatMap(_.get(cacheKey)) match {
+      case Some(hit) => return Some(hit.copy(fromCache = true))
+      case None => ()
+    }
     // 1. validation gate (helpers.py:117-132)
-    TextPipeline.validateQuery(rawQuery).map { valid =>
+    val out = TextPipeline.validateQuery(rawQuery).map { valid =>
       // 1b. spelling corrections (X4)
       val corrected = QueryIntel.correct(valid)
       // 2. intent + entities (X2/X3)
@@ -82,5 +110,7 @@ object SearchService {
       Response(rawQuery, corrected, intent, entities, expanded, page,
         usedFallback, total, uniqueRepos, summary)
     }
+    out.foreach(r => cache.foreach(_.put(cacheKey, r)))
+    out
   }
 }

@@ -48,6 +48,24 @@ class LocalSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded serving (scatter-gather over docGroup shards) == unsharded") {
+    val sharded = LocalSearcher.loadSharded(index, nShards = 3)
+    // shards partition the doc space exactly
+    assert(sharded.shards.map(_.docs.size).sum == local.docs.size)
+    assert(sharded.shards.forall(_.docs.nonEmpty))
+    for {
+      opts <- Seq(SearchOpts(k = 10),
+        SearchOpts(k = 10, diversity = false),
+        SearchOpts(k = 10, fields = Seq("content" -> 1.5, "path" -> 2.5),
+          phraseBoost = 2.0))
+      q <- queries
+    } {
+      val one = LocalSearcher.search(local, q, opts)
+      val many = LocalSearcher.searchSharded(sharded, q, opts)
+      assert(many == one, s"sharded serving diverged on '$q' ($opts)")
+    }
+  }
+
   test("serving-mode latency is reference-class (sub-20ms once warm)") {
     val opts = SearchOpts(k = 10)
     queries.foreach(q => LocalSearcher.search(local, q, opts)) // warm

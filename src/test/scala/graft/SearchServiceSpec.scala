@@ -35,6 +35,25 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(r.results.collect().map(_.toSeq).toSeq == direct)
   }
 
+  test("query-result LRU cache: hit flags fromCache, evicts beyond capacity") {
+    val cache = SearchService.newCache(maxEntries = 2)
+    val first = SearchService.search(index, "python tutorial",
+      cache = Some(cache)).get
+    assert(!first.fromCache)
+    val second = SearchService.search(index, "python tutorial",
+      cache = Some(cache)).get
+    assert(second.fromCache) // reference integration matrix's from_cache flag
+    assert(second.totalResults == first.totalResults &&
+      second.summary == first.summary)
+    // distinct k -> distinct key (reference key = search:{query}:{limit})
+    val otherK = SearchService.search(index, "python tutorial",
+      SearchOpts(k = 5), cache = Some(cache)).get
+    assert(!otherK.fromCache)
+    // capacity 2, third distinct key evicts the least-recently-used
+    SearchService.search(index, "machine learning", cache = Some(cache))
+    assert(cache.size == 2)
+  }
+
   test("invalid queries are rejected by the gate (F9)") {
     assert(SearchService.search(index, "").isEmpty)
     assert(SearchService.search(index, "@#$%").isEmpty)
