@@ -66,6 +66,42 @@ class LocalSpec extends AnyFunSuite {
     }
   }
 
+  test("block-max WAND skips block decodes on a tf-skewed corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4000 docs: 30 planted docs at the FRONT carry 'needle' at tf=40;
+    // ~1/3 of the rest carry it at tf=1 (df < N/2 keeps idf positive).
+    // The heap floor rises to the planted scores within the first block,
+    // after which every later block's upper bound (tf=1) falls below it —
+    // the WAND machinery must skip those decodes entirely.
+    val docs = spark.range(0, 4000).map { i =>
+      val tf = if (i < 30) 40 else if (i % 3 == 0) 1 else 0
+      val filler = (0 until (30 + (i % 40)).toInt)
+        .map(j => s"w${(i * 7 + j) % 199}").mkString(" ")
+      (i, "r" + (i % 5), s"p/$i", "en", (("needle " * tf) + filler).trim)
+    }.toDF("docId", "repo", "path", "lang", "content")
+    val dir = "/tmp/graft-test/skew-index"
+    IndexBuilder.build(spark, docs, dir,
+      IndexBuilder.Params(blockSize = 64, docGroupSize = 4096L))
+    val li = LocalSearcher.load(new SearchIndex(spark, dir))
+    val totalBlocks = li.blocks.getOrElse(("content", "needle"), Array.empty).length
+    assert(totalBlocks > 10, s"expected many blocks, got $totalBlocks")
+
+    li.decodeCount.set(0L)
+    val hits = LocalSearcher.search(li, "needle",
+      SearchOpts(k = 10, overfetch = 3, diversity = false))
+    val decoded = li.decodeCount.get
+    assert(hits.nonEmpty && hits.head.docId < 30L,
+      s"top hit must be a planted high-tf doc, got ${hits.map(_.docId)}")
+    assert(decoded < totalBlocks,
+      s"block-max WAND decoded all $totalBlocks blocks — no pruning")
+    // and pruning never changes results: exhaustive-equivalent check
+    val dist = QueryEngine.search(new SearchIndex(spark, dir), "needle",
+      SearchOpts(k = 10, overfetch = 3, diversity = false, wand = false))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hits.map(h => (h.rank, h.docId, h.score)) == dist)
+  }
+
   test("serving-mode latency is reference-class (sub-20ms once warm)") {
     val opts = SearchOpts(k = 10)
     queries.foreach(q => LocalSearcher.search(local, q, opts)) // warm

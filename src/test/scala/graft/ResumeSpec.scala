@@ -121,6 +121,39 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("crash between segment write and lineage commit: retry is exactly-once") {
+    import spark.implicits._
+    val all = CorpusGen.generateDF(spark, 300L, seed = 31L, partitions = 2)
+    val b1 = all.filter($"docId" < 150)
+    val b2 = all.filter($"docId" >= 150)
+    val dir = "/tmp/graft-test/resume-crash"
+    val full = "/tmp/graft-test/resume-crash-full"
+    IndexBuilder.build(spark, b1, dir, params)
+    IndexBuilder.resume(spark, b2, dir, params.copy(inputSnapshot = "snapshot-1"))
+    // simulate the crash window: postings/docs for snapshot-1 are on disk
+    // but its lineage partition (the commit marker, written last) is not
+    graft.io.ParquetTableIO.deletePartitions(spark, s"$dir/lineage",
+      Seq("inputSnapshot" -> "snapshot-1"))
+    // the retry re-presents the same batch under the SAME snapshot: its
+    // dynamic partition overwrite must replace its own partitions, not
+    // duplicate them
+    IndexBuilder.resume(spark, b2, dir, params.copy(inputSnapshot = "snapshot-1"))
+
+    IndexBuilder.build(spark, all, full, params)
+    assert(spark.read.parquet(s"$dir/docs").count() == 300L,
+      "crash-retry duplicated or lost docs")
+    def dict(d: String) = spark.read.parquet(s"$d/dictionary")
+      .select("field", "term", "df", "totalTf").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(dict(dir) == dict(full), "crash-retry double-counted postings")
+    val q = "python tutorial"
+    val a = QueryEngine.search(new SearchIndex(spark, dir), q, SearchOpts())
+      .collect().map(_.toSeq).toSeq
+    val b = QueryEngine.search(new SearchIndex(spark, full), q, SearchOpts())
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("docId collision audit fails the build") {
     import spark.implicits._
     val corpus = CorpusGen.generateDF(spark, 100L, seed = 29L, partitions = 2)
