@@ -219,6 +219,14 @@ object SparkEntry {
     "q23_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", bits = 20)),
+    "q35_simhash_pairs" -> ((s, d) => {
+      // banded equi-join (pigeonhole) vs the oracle's naive all-pairs —
+      // proves the scale-safe plan computes the same pair set
+      val fps = Dedup.simhash(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", bits = 20)
+      Dedup.simhashPairs(fps, "doc_id", maxDist = 6, bits = 20)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    }),
     "q24_ngram_pairs" -> ((s, d) =>
       // maxShingleDf exercises the hot-shingle skew guard through the gate
       Dedup.ngramJaccardPairs(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
@@ -299,7 +307,48 @@ object SparkEntry {
           col("rnk").cast("long").as("rnk"))),
     "q44_semantic_metrics" -> ((s, d) =>
       graft.pipeline.TextPipeline.semanticMetrics(
-        t(s, d, "documents"), "doc_id", "text"))
+        t(s, d, "documents"), "doc_id", "text")),
+    "q45_url_resolve" -> ((s, d) => {
+      // T20: hrefs of all four shapes resolved against a per-doc base url
+      val base = concat(lit("https://www."), col("source"),
+        lit(".example.org/dir/page"))
+      val href = when(col("doc_id") % 4 === 0,
+          concat(lit("http://abs.example.net/x/"), col("doc_id")))
+        .when(col("doc_id") % 4 === 1, concat(lit("//cdn.example.net/a/"), col("doc_id")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/rooted/"), col("doc_id")))
+        .otherwise(concat(lit("rel/"), col("doc_id")))
+      t(s, d, "documents")
+        .select(col("doc_id"), base.as("base_url"), href.as("href"),
+          graft.pipeline.TextPipeline.resolveUrl(href, base).as("resolved"))
+    }),
+    "q46_json_dates" -> ((s, d) => {
+      // T4: fixed-shape JSON per doc; the cleaner normalizes the date-key
+      // value via the T3 cascade or drops the key when unparseable
+      val dateStr = when(col("doc_id") % 3 === 0,
+          concat(lit("March "), (col("doc_id") % 28 + 1).cast("string"), lit(", 2024")))
+        .when(col("doc_id") % 3 === 1, lit("2025-08-01T12:30:00+02:00"))
+        .otherwise(lit("not-a-date"))
+      val json = concat(lit("""{"datePublished":""""), dateStr,
+        lit("""","note":"k"}"""))
+      t(s, d, "documents")
+        .select(col("doc_id"), json.as("json"),
+          graft.pipeline.TextPipeline.cleanJsonDatesCol(json).as("cleaned"))
+    }),
+    "q47_norm_dates" -> ((s, d) => {
+      // T3 incl. the RFC-2822 arm (weekday prefix is informational and
+      // ignored, as in the reference's lenient parse path)
+      val day = (col("doc_id") % 28 + 1).cast("string")
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("Tue, "), day, lit(" Jul 2025 10:30:00 +0200")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("Mon, "), day, lit(" Aug 2025 08:00:00 GMT")))
+        .when(col("doc_id") % 4 === 2, concat(lit("2024/03/"),
+          lpad(day, 2, "0"), lit(" 06:15:00")))
+        .otherwise(lit("garbage"))
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"),
+          graft.pipeline.TextPipeline.normalizeDate(raw).as("normalized"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -587,6 +636,24 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsums GROUP BY doc_id"""
     },
+    "q35_simhash_pairs" ->
+      s"""WITH tfs AS (
+          SELECT doc_id, term, count(*) AS w FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents WHERE doc_id % 10 = 0) GROUP BY doc_id, term),
+        hs AS (SELECT doc_id, w, ${h60Sql("term")} AS h FROM tfs),
+        bitsums AS (
+          SELECT doc_id, j,
+            sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN w ELSE -w END) AS s
+          FROM hs, generate_series(0, 19) AS g(j) GROUP BY doc_id, j),
+        fps AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS sh
+          FROM bitsums GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
     "q24_ngram_pairs" ->
       s"""WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         ptoks AS (
@@ -802,6 +869,53 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
           round(CAST(wc AS DOUBLE) / 200.0, 6) AS reading_time_min,
           round(CAST(wc AS DOUBLE) / greatest(sc, 1), 6) AS avg_sentence_len,
           round(CAST(nospace AS DOUBLE) / greatest(tlen, 1), 6) AS content_density
-        FROM m"""
+        FROM m""",
+    "q45_url_resolve" ->
+      """WITH u AS (
+          SELECT doc_id,
+            'https://www.' || source || '.example.org/dir/page' AS base_url,
+            CASE WHEN doc_id % 4 = 0 THEN 'http://abs.example.net/x/' || doc_id
+                 WHEN doc_id % 4 = 1 THEN '//cdn.example.net/a/' || doc_id
+                 WHEN doc_id % 4 = 2 THEN '/rooted/' || doc_id
+                 ELSE 'rel/' || doc_id END AS href,
+            source
+          FROM documents)
+        SELECT doc_id, base_url, href,
+          CASE WHEN doc_id % 4 = 0 THEN href
+               WHEN doc_id % 4 = 1 THEN 'https:' || href
+               WHEN doc_id % 4 = 2 THEN 'https://www.' || source || '.example.org' || href
+               ELSE base_url || '/' || href END AS resolved
+        FROM u""",
+    "q46_json_dates" ->
+      """WITH j AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'March ' || (doc_id % 28 + 1) || ', 2024'
+                 WHEN doc_id % 3 = 1 THEN '2025-08-01T12:30:00+02:00'
+                 ELSE 'not-a-date' END AS ds
+          FROM documents)
+        SELECT doc_id,
+          '{"datePublished":"' || ds || '","note":"k"}' AS json,
+          CASE WHEN doc_id % 3 = 0 THEN
+                 '{"datePublished":"2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   || 'T00:00:00Z","note":"k"}'
+               WHEN doc_id % 3 = 1 THEN
+                 '{"datePublished":"2025-08-01T10:30:00Z","note":"k"}'
+               ELSE '{"note":"k"}' END AS cleaned
+        FROM j""",
+    "q47_norm_dates" ->
+      """WITH r AS (
+          SELECT doc_id, CAST(doc_id % 28 + 1 AS VARCHAR) AS day,
+            lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'Tue, ' || day || ' Jul 2025 10:30:00 +0200'
+               WHEN doc_id % 4 = 1 THEN 'Mon, ' || day || ' Aug 2025 08:00:00 GMT'
+               WHEN doc_id % 4 = 2 THEN '2024/03/' || dd || ' 06:15:00'
+               ELSE 'garbage' END AS raw,
+          CASE WHEN doc_id % 4 = 0 THEN '2025-07-' || dd || 'T08:30:00Z'
+               WHEN doc_id % 4 = 1 THEN '2025-08-' || dd || 'T08:00:00Z'
+               WHEN doc_id % 4 = 2 THEN '2024-03-' || dd || 'T06:15:00Z'
+               ELSE NULL END AS normalized
+        FROM r"""
   )
 }
