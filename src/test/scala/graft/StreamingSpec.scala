@@ -96,6 +96,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched, "stream(straddled batches) != batch(all)")
   }
 
+  test("mapGroupsWithState recrawl scheduler: backoff doubles, resets on change, survives restart") {
+    import spark.implicits._
+    import graft.streaming.CrawlScheduler
+    import graft.streaming.CrawlScheduler.Observation
+    val base = "/tmp/graft-test/crawl-state"
+    IndexBuilder.deleteDir(spark, base)
+    val input = s"$base/in"
+
+    def obs(rows: Seq[(String, String, String)]) =
+      rows.map { case (d, h, t) =>
+        Observation(d, h, java.sql.Timestamp.valueOf(t)) }.toDS().toDF()
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(input).schema).parquet(input)
+        .as[Observation]
+      val q = CrawlScheduler.track(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.CrawlScheduler.Schedule],
+           _: Long) => b.write.mode("append").parquet(s"$base/out"); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: first sighting of both domains
+    obs(Seq(("a.org", "h1", "2026-01-01 00:00:00"),
+      ("b.org", "h9", "2026-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(input)
+    runOnce()
+    // batch 2 (new files; state recovered from the checkpoint across a
+    // fresh query): a.org changes (reset), b.org unchanged twice (double x2)
+    obs(Seq(("a.org", "h2", "2026-01-02 00:00:00"),
+      ("b.org", "h9", "2026-01-02 00:00:00"),
+      ("b.org", "h9", "2026-01-03 00:00:00")))
+      .write.mode("append").parquet(input)
+    runOnce()
+
+    // latest schedule per domain = the row with the highest crawlCount
+    val last = spark.read.parquet(s"$base/out")
+      .orderBy(col("crawlCount").asc).collect()
+      .map(r => r.getAs[String]("domain") -> (
+        r.getAs[Long]("crawlCount"), r.getAs[Int]("backoffMultiplier"),
+        r.getAs[Double]("changeFrequency"),
+        r.getAs[Long]("nextCrawlDelayMinutes"))).toMap
+    // a.org: 2 crawls, changed -> multiplier reset to 1, ema = 0.3
+    assert(last("a.org") == ((2L, 1, 0.3, 60L)), s"got ${last("a.org")}")
+    // b.org: 3 crawls, unchanged twice -> multiplier 1*2*2 = 4, ema 0.0,
+    // delay = 4h = 240 min
+    assert(last("b.org") == ((3L, 4, 0.0, 240L)), s"got ${last("b.org")}")
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     val base = "/tmp/graft-test/stream-events"
