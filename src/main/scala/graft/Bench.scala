@@ -62,7 +62,35 @@ object Bench {
       buildRun1: Double = 0, buildRun2: Double = 0,
       blocksDecodedPerQuery: Double = 0, blocksTermTotalPerQuery: Double = 0,
       servingBlocksDecodedPerQuery: Double = 0,
-      servingDocsScoredPerQuery: Double = 0, postingsTermTotalPerQuery: Double = 0)
+      servingDocsScoredPerQuery: Double = 0, postingsTermTotalPerQuery: Double = 0,
+      skewedBlockSkipRatio: Double = 0)
+
+  /** Block-skip probe on a tf-SKEWED corpus (the reference-query corpus is
+    * deliberately tf-flat, where block maxima are all alike and block-level
+    * pruning has nothing to cut — see WandDiag/BASELINE.md): 30 high-tf
+    * docs up front raise the heap floor above every flat block's bound, so
+    * the block-max WAND path must skip their decodes. Returns the measured
+    * skip ratio (decoded / total blocks of the term, complemented). */
+  private def skewedSkipProbe(spark: SparkSession): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 30000).map { i =>
+      val tf = if (i < 30) 40 else if (i % 3 == 0) 1 else 0
+      val filler = (0 until (30 + (i % 40)).toInt)
+        .map(j => s"w${(i * 7 + j) % 199}").mkString(" ")
+      (i, "r" + (i % 5), s"p/$i", "en", (("needle " * tf) + filler).trim)
+    }.toDF("docId", "repo", "path", "lang", "content")
+    val dir = "/tmp/graft-bench/skew-index"
+    IndexBuilder.deleteDir(spark, dir)
+    IndexBuilder.build(spark, docs, dir,
+      IndexBuilder.Params(blockSize = 128, docGroupSize = 32768L))
+    val li = graft.query.LocalSearcher.load(new SearchIndex(spark, dir))
+    val total = li.blocks.getOrElse(("content", "needle"), Array.empty).length
+    li.decodeCount.set(0L)
+    graft.query.LocalSearcher.search(li, "needle",
+      SearchOpts(k = 10, overfetch = 3, diversity = false))
+    if (total == 0) 0.0 else 1.0 - li.decodeCount.get.toDouble / total
+  }
 
   /** Fixed-total-work CPU spin across `threads` threads — the machine's own
     * compute-scaling ceiling, measured IN the same run so the build's
@@ -169,6 +197,7 @@ object Bench {
       ReferenceQueries.foreach(q => graft.query.LocalSearcher.search(li, q, opts))
       val servingBlocksPerQuery = li.decodeCount.get.toDouble / ReferenceQueries.size
       val servingScoredPerQuery = li.scoredCount.get.toDouble / ReferenceQueries.size
+      val skewSkip = skewedSkipProbe(spark)
       val servingTimes = (1 to 5).flatMap { _ =>
         ReferenceQueries.map { q =>
           val t0 = System.nanoTime()
@@ -205,7 +234,8 @@ object Bench {
         met.getAs[Long]("maxMergeFanIn").toDouble,
         buildRuns(0), buildRuns(1),
         blocksDecodedPerQuery, blocksTermTotalPerQuery,
-        servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery)
+        servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery,
+        skewSkip)
     } finally spark.stop()
   }
 
@@ -216,16 +246,17 @@ object Bench {
       r.postingsEmitted, r.bytesCompressed, r.bytesRaw, r.maxMergeFanIn,
       r.buildRun1, r.buildRun2, r.blocksDecodedPerQuery,
       r.blocksTermTotalPerQuery, r.servingBlocksDecodedPerQuery,
-      r.servingDocsScoredPerQuery, r.postingsTermTotalPerQuery) ++
+      r.servingDocsScoredPerQuery, r.postingsTermTotalPerQuery,
+      r.skewedBlockSkipRatio) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(20).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(21).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
       xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16), xs(17),
-      xs(18), xs(19))
+      xs(18), xs(19), xs(20))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -336,6 +367,9 @@ object Bench {
         "postings_term_total_per_query_c32" -> high.postingsTermTotalPerQuery,
         "serving_wand_doc_skip_ratio" -> (if (high.postingsTermTotalPerQuery > 0)
           1.0 - high.servingDocsScoredPerQuery / high.postingsTermTotalPerQuery else 0.0),
+        // block decodes DO drop when the corpus has tf skew (the reference
+        // corpus is tf-flat by construction; see BASELINE.md)
+        "skewed_block_skip_ratio" -> high.skewedBlockSkipRatio,
         // this box's own compute-scaling ceiling (fixed-work CPU spin):
         // normalized build efficiency = raw / ceiling
         "cpu_spin_eff_8to32" -> spinEff,
