@@ -63,7 +63,8 @@ object Bench {
       blocksDecodedPerQuery: Double = 0, blocksTermTotalPerQuery: Double = 0,
       servingBlocksDecodedPerQuery: Double = 0,
       servingDocsScoredPerQuery: Double = 0, postingsTermTotalPerQuery: Double = 0,
-      skewedBlockSkipRatio: Double = 0)
+      skewedBlockSkipRatio: Double = 0, exhaustiveMeanSec: Double = 0,
+      wandMeanSec: Double = 0)
 
   /** Block-skip probe on a tf-SKEWED corpus (the reference-query corpus is
     * deliberately tf-flat, where block maxima are all alike and block-level
@@ -198,6 +199,19 @@ object Bench {
       val servingBlocksPerQuery = li.decodeCount.get.toDouble / ReferenceQueries.size
       val servingScoredPerQuery = li.scoredCount.get.toDouble / ReferenceQueries.size
       val skewSkip = skewedSkipProbe(spark)
+
+      // WAND vs exhaustive on the SAME hot index (exhaustive = the
+      // differential baseline: full decode + groupByKey shuffle per query)
+      def meanLat(o: SearchOpts): Double = {
+        val ts = ReferenceQueries.map { q =>
+          val t0 = System.nanoTime()
+          QueryEngine.search(index, q, o).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.sum / ts.size
+      }
+      val exhaustiveMean = meanLat(opts.copy(wand = false))
+      val wandMean = meanLat(opts)
       val servingTimes = (1 to 5).flatMap { _ =>
         ReferenceQueries.map { q =>
           val t0 = System.nanoTime()
@@ -235,7 +249,7 @@ object Bench {
         buildRuns(0), buildRuns(1),
         blocksDecodedPerQuery, blocksTermTotalPerQuery,
         servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery,
-        skewSkip)
+        skewSkip, exhaustiveMean, wandMean)
     } finally spark.stop()
   }
 
@@ -247,16 +261,16 @@ object Bench {
       r.buildRun1, r.buildRun2, r.blocksDecodedPerQuery,
       r.blocksTermTotalPerQuery, r.servingBlocksDecodedPerQuery,
       r.servingDocsScoredPerQuery, r.postingsTermTotalPerQuery,
-      r.skewedBlockSkipRatio) ++
+      r.skewedBlockSkipRatio, r.exhaustiveMeanSec, r.wandMeanSec) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(21).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(23).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
       xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16), xs(17),
-      xs(18), xs(19), xs(20))
+      xs(18), xs(19), xs(20), xs(21), xs(22))
   }
 
   /** Run one level in a CHILD JVM so JIT/GC/heap state never leaks between
@@ -370,6 +384,11 @@ object Bench {
         // block decodes DO drop when the corpus has tf skew (the reference
         // corpus is tf-flat by construction; see BASELINE.md)
         "skewed_block_skip_ratio" -> high.skewedBlockSkipRatio,
+        // same hot index, same queries: the differential baseline's cost
+        "query_mean_sec_exhaustive_c32" -> high.exhaustiveMeanSec,
+        "query_mean_sec_wand_c32" -> high.wandMeanSec,
+        "wand_vs_exhaustive_speedup" -> (if (high.wandMeanSec > 0)
+          high.exhaustiveMeanSec / high.wandMeanSec else 0.0),
         // this box's own compute-scaling ceiling (fixed-work CPU spin):
         // normalized build efficiency = raw / ceiling
         "cpu_spin_eff_8to32" -> spinEff,
