@@ -1,0 +1,60 @@
+package graft
+
+import graft.index.IndexBuilder
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential for the block-max WAND path: tiny vocabularies
+  * force df > N/2 (NEGATIVE idf — the regime where the block-max pivot
+  * bound must clamp), tiny blocks/groups maximize boundary traffic, and
+  * random queries mix present/absent/rare/ubiquitous terms. WAND must stay
+  * rank- AND score-identical to the exhaustive baseline on every draw.
+  * Deterministic seeds — failures reproduce. */
+class WandFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def corpus(rng: scala.util.Random, n: Int, vocab: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val len = 3 + rng.nextInt(25)
+      val words = (0 until len).map(_ => s"v${rng.nextInt(vocab)}")
+      // occasional heavy repetition -> extreme tf skew within docs
+      val content =
+        if (rng.nextInt(5) == 0) (words ++ Seq.fill(30)(s"v${rng.nextInt(3)}")).mkString(" ")
+        else words.mkString(" ")
+      (i.toLong, s"r${i % 3}", s"p/$i", "en", content)
+    }.toDF("docId", "repo", "path", "lang", "content")
+  }
+
+  test("WAND == exhaustive on 12 random corpora x 6 random queries (incl. negative idf)") {
+    val rng = new scala.util.Random(20260816L)
+    (1 to 12).foreach { trial =>
+      val n = 20 + rng.nextInt(180)
+      val vocab = 4 + rng.nextInt(20) // tiny vocab -> many df > N/2 terms
+      val df = corpus(rng, n, vocab)
+      val dir = s"/tmp/graft-test/wand-fuzz-$trial"
+      IndexBuilder.build(spark, df, dir, IndexBuilder.Params(
+        blockSize = 2 + rng.nextInt(6), docGroupSize = 8L + rng.nextInt(40)))
+      val idx = new SearchIndex(spark, dir)
+      (1 to 6).foreach { _ =>
+        val nTerms = 1 + rng.nextInt(4)
+        val q = (0 until nTerms)
+          .map(_ => s"v${rng.nextInt(vocab + 2)}").mkString(" ") // +2: absent terms
+        val k = 1 + rng.nextInt(8)
+        val pb = if (rng.nextBoolean() && nTerms >= 2) 2.0 else 0.0
+        val base = SearchOpts(k = k, overfetch = 1 + rng.nextInt(3),
+          diversity = false, phraseBoost = pb)
+        val ex = QueryEngine.search(idx, q, base.copy(wand = false))
+          .collect().map(_.toSeq).toSeq
+        val wd = QueryEngine.search(idx, q, base.copy(wand = true))
+          .collect().map(_.toSeq).toSeq
+        assert(wd == ex,
+          s"WAND diverged: trial=$trial n=$n vocab=$vocab q='$q' k=$k pb=$pb\n" +
+            s"wand=$wd\nexhaustive=$ex")
+      }
+      IndexBuilder.deleteDir(spark, dir)
+    }
+  }
+}
