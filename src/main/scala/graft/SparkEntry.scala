@@ -286,6 +286,17 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))),
 
+    "q48_media_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.metaColumns(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id", targetW = 512, targetH = 384)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("out_w"), col("out_h"))),
+    "q49_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.metaColumns(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id", step = 7)),
+
     // ---- web-pipeline parity ops (graft.pipeline) ----
     "q41_domain_extract" -> ((s, d) => {
       t(s, d, "documents")
@@ -801,6 +812,21 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
         CAST($metaSqlFrames AS BIGINT) AS n_frames
         FROM documents""",
 
+    "q48_media_resize" ->
+      s"""WITH m AS (
+          SELECT doc_id,
+            CAST($metaSqlWidth AS BIGINT) AS width,
+            CAST($metaSqlHeight AS BIGINT) AS height
+          FROM documents)
+        SELECT doc_id, width, height,
+          CAST(floor(width * least(512.0 / width, 384.0 / height)) AS BIGINT) AS out_w,
+          CAST(floor(height * least(512.0 / width, 384.0 / height)) AS BIGINT) AS out_h
+        FROM m""",
+    "q49_frame_sample" ->
+      s"""WITH m AS (
+          SELECT doc_id, CAST($metaSqlFrames AS BIGINT) AS nf FROM documents)
+        SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx
+        FROM m JOIN generate_series(0, 63, 7) AS g(i) ON g.i <= m.nf - 1""",
     "q41_domain_extract" ->
       """WITH u AS (
           SELECT doc_id,

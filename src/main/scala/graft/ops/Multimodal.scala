@@ -60,6 +60,30 @@ object Multimodal {
       }
   }
 
+  /** Resize planning: aspect-preserving fit of (width, height) into a
+    * target box — the pure metadata arithmetic of an image-resize stage
+    * (the pixel transform itself is the stubbed codec part; a real
+    * deployment maps the plan through the batch decoder). Input is the
+    * [[metaColumns]] shape. */
+  def resizePlan(meta: DataFrame, idCol: String, targetW: Int,
+      targetH: Int): DataFrame = {
+    val scale = least(lit(targetW.toDouble) / col("width"),
+      lit(targetH.toDouble) / col("height"))
+    meta.select(col(idCol), col("width"), col("height"),
+      floor(col("width") * scale).cast("long").as("out_w"),
+      floor(col("height") * scale).cast("long").as("out_h"))
+  }
+
+  /** Frame sampling: one row per sampled frame index (frame 0 always
+    * included, then every `step`-th frame) — the explode that turns a
+    * video payload into per-frame work items for the batch decoder; at
+    * scale the exploded rows repartition across the cluster so frame
+    * decode parallelism is independent of video length skew. */
+  def frameSample(meta: DataFrame, idCol: String, step: Int): DataFrame =
+    meta.select(col(idCol),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+
   /** Column-expression form of the stub metadata (used by the SQL-oracled
     * gate query — md5 arithmetic is portable to DuckDB). Matches
     * [[stubDecode]]'s width/height/frames exactly. */

@@ -158,6 +158,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0L) != fp(1L))
   }
 
+  test("multimodal resize plan + frame sampling plumbing") {
+    val meta = Seq((1L, 1024, 768, 15), (2L, 200, 800, 3), (3L, 100, 50, 1))
+      .toDF("id", "width", "height", "n_frames")
+    val rs = Multimodal.resizePlan(meta, "id", targetW = 512, targetH = 384)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rs(1L) == ((512L, 384L))) // exact 2x downscale
+    assert(rs(2L) == ((96L, 384L)))  // height-bound, aspect preserved
+    assert(rs(3L) == ((512L, 256L))) // fit-to-box upscale, aspect preserved
+    val fs = Multimodal.frameSample(meta.withColumnRenamed("id", "doc"), "doc", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fs.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0L, 7L, 14L))
+    assert(fs.filter(_._1 == 2L).map(_._2).toSeq == Seq(0L))
+    assert(fs.filter(_._1 == 3L).map(_._2).toSeq == Seq(0L))
+  }
+
   test("multimodal: typed batch decode == column-expression stub (parity)") {
     val viaPartitions = Multimodal.decodeAll(spark, docs, "doc_id", "text")
       .collect().map(m => m.id -> (m.byte_len, m.width, m.height, m.n_frames)).toMap
