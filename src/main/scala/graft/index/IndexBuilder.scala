@@ -166,15 +166,19 @@ object IndexBuilder {
     def metrics = s"$dir/metrics"
   }
 
-  /** Deterministic docId for corpora without one (xxhash64 of the natural
-    * key). NOTE: hash ids are uniform over the Long range, so the builder
-    * groups them by `pmod(docId, nGroups)` instead of contiguous ranges —
-    * deterministic for a fixed corpus, but NOT append-stable. Incremental /
-    * streaming builds must supply dense monotone docIds (assigned once at
-    * ingest, e.g. CorpusGen.generateDF), which get range grouping. */
+  /** Deterministic docId for corpora without one: xxhash64 of the natural
+    * key, folded into the NON-NEGATIVE 63-bit range — full-range signed
+    * ids would overflow the block codec's docId deltas (a list spanning
+    * -2^63..2^63 has deltas beyond Long.MaxValue). NOTE: hash ids are
+    * uniform, so the builder groups them by `pmod(docId, nGroups)` instead
+    * of contiguous ranges — deterministic for a fixed corpus, but NOT
+    * append-stable. Incremental / streaming builds must supply dense
+    * monotone docIds (assigned once at ingest, e.g. CorpusGen.generateDF),
+    * which get range grouping. */
   def withDocId(corpus: DataFrame): DataFrame =
     if (corpus.columns.contains("docId")) corpus
-    else corpus.withColumn("docId", xxhash64(col("repo"), col("path"), col("commit")))
+    else corpus.withColumn("docId",
+      pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(Long.MaxValue)))
 
   /** Full build: wipes `dir` first. */
   def build(spark: SparkSession, corpus: DataFrame, dir: String,

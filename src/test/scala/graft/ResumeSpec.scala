@@ -154,6 +154,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hash-id corpora (no docId column): resume skips whole done groups") {
+    import spark.implicits._
+    // static-build contract: ids derive from xxhash64 -> pmod group buckets;
+    // resume of the SAME corpus must be a no-op (group-level anti-join)
+    val corpus = CorpusGen.generateDF(spark, 200L, seed = 37L, partitions = 2)
+      .drop("docId")
+    val dir = "/tmp/graft-test/resume-hashids"
+    IndexBuilder.build(spark, corpus, dir, params)
+    val before = spark.read.parquet(s"$dir/metrics")
+      .select("postingsEmitted").as[Long].collect().head
+    assert(before > 0)
+    IndexBuilder.resume(spark, corpus, dir,
+      params.copy(inputSnapshot = "snapshot-1"))
+    val after = spark.read.parquet(s"$dir/metrics")
+      .select("postingsEmitted").as[Long].collect().head
+    assert(after == before, "hash-id resume re-ingested done groups")
+    assert(spark.read.parquet(s"$dir/docs").count() == 200L)
+  }
+
   test("docId collision audit fails the build") {
     import spark.implicits._
     val corpus = CorpusGen.generateDF(spark, 100L, seed = 29L, partitions = 2)
