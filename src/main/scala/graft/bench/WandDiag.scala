@@ -50,11 +50,15 @@ object WandDiag {
             val minN = BM25.tfNorm(r.getInt(1), r.getInt(3), avgdl, p)
             BM25.blockUpperBound(idf, maxN, minN)
           }.sorted
-        val below = ubs.count(_ < floor)
-        println(s"  term ${t.padTo(14, ' ')} df=$df idf=${"%8.4f".format(idf)} " +
-          s"blocks=${ubs.length} ubMin=${"%8.4f".format(ubs.head)} " +
-          s"ubMed=${"%8.4f".format(ubs(ubs.length / 2))} " +
-          s"ubMax=${"%8.4f".format(ubs.last)} blocksBelowFloorAlone=$below")
+        if (ubs.isEmpty) {
+          println(s"  term ${t.padTo(14, ' ')} df=0 (no postings)")
+        } else {
+          val below = ubs.count(_ < floor)
+          println(s"  term ${t.padTo(14, ' ')} df=$df idf=${"%8.4f".format(idf)} " +
+            s"blocks=${ubs.length} ubMin=${"%8.4f".format(ubs.head)} " +
+            s"ubMed=${"%8.4f".format(ubs(ubs.length / 2))} " +
+            s"ubMax=${"%8.4f".format(ubs.last)} blocksBelowFloorAlone=$below")
+        }
       }
     }
     spark.stop()

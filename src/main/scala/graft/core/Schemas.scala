@@ -103,4 +103,5 @@ case class BuildMetrics(
     maxMergeFanIn: Long,    // max docGroups any single term spans
     avgMergeFanIn: Double,
     shaViolations: Long,
-    docIdCollisions: Long)  // audited each build; nonzero fails the build
+    docIdCollisions: Long)  // 0 in any committed build (the audit throws
+                            // first); the column records the invariant

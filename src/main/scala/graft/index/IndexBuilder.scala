@@ -305,16 +305,21 @@ object IndexBuilder {
     val allDocs = io.read(spark, layout.docs)
     val segPostings = allBlocks.filter($"segment" === segment)
     val segDocs = allDocs.filter($"segment" === segment)
-    val newLineage = segPostings
-      .groupBy($"docGroup")
-      .agg(sum($"n").as("postingsEmitted"),
-        sum(length($"bytes")).as("bytesCompressed"),
-        countDistinct($"term").as("mergeFanIn"))
+    // LEFT join FROM docs: a group whose batch docs all tokenized to zero
+    // tokens emits no postings, but its docs ARE committed — dropping the
+    // lineage row would re-select those docIds as pending forever (and
+    // trip the collision audit on the re-ingest)
+    val newLineage = segDocs.groupBy($"docGroup")
+      .agg(count(lit(1)).as("docs"), max($"docId").as("maxDocId"),
+        min($"shaOk").as("shaOk"))
       .join(
-        segDocs.groupBy($"docGroup")
-          .agg(count(lit(1)).as("docs"), max($"docId").as("maxDocId"),
-            min($"shaOk").as("shaOk")),
-        Seq("docGroup"))
+        segPostings.groupBy($"docGroup")
+          .agg(sum($"n").as("p_"), sum(length($"bytes")).as("b_"),
+            countDistinct($"term").as("f_")),
+        Seq("docGroup"), "left_outer")
+      .withColumn("postingsEmitted", coalesce($"p_", lit(0L)))
+      .withColumn("bytesCompressed", coalesce($"b_", lit(0L)))
+      .withColumn("mergeFanIn", coalesce($"f_", lit(0L)))
       .select($"docGroup".as("partitionId"), lit("done").as("status"),
         $"docs", $"maxDocId", $"postingsEmitted", $"bytesCompressed",
         $"mergeFanIn", $"shaOk", current_timestamp().as("updatedAt"),
@@ -359,7 +364,10 @@ object IndexBuilder {
     // term-level upper bounds and seek metadata without touching postings;
     // tlen partitioning makes fuzzy expansion a partition-pruned probe
     // (QueryEngine.fuzzyExpand) instead of a full-dictionary scan.
-    io.overwritePartitions(
+    // FULL overwrite (not dynamic): the dictionary is purely derived, and a
+    // tlen partition whose terms all disappeared (Retention expiry) must
+    // not survive as stale rows.
+    io.overwriteTable(
       allBlocks.groupBy($"field", $"term")
         .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
           count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
@@ -394,6 +402,8 @@ object IndexBuilder {
         r.map(_.getAs[Long]("raw")).getOrElse(0L),
         r.map(_.getAs[Long]("maxFan")).getOrElse(0L),
         r.map(_.getAs[Double]("avgFan")).getOrElse(0.0), shaViol,
+        // 0 by construction in any COMMITTED build — the audit above throws
+        // before this write otherwise; the column records the invariant
         nDocs - nDistinct)
     }
     io.overwritePartitions(

@@ -26,6 +26,16 @@ object Retention {
       snapshots: Seq[String], io: TableIO = ParquetTableIO): Unit = {
     if (snapshots.isEmpty) return
     val layout = IndexBuilder.Layout(dir)
+    // refuse to expire the ENTIRE index: an empty docs/postings table has
+    // no schema to re-derive from (and "retention" deleting everything is
+    // a caller bug — ISM never deletes the live index either); drop the
+    // directory explicitly if that is really intended.
+    val surviving = io.read(spark, layout.lineage)
+      .select(col("inputSnapshot")).distinct()
+      .collect().map(_.getString(0)).toSet -- snapshots
+    require(surviving.nonEmpty,
+      s"expiring ${snapshots.mkString(",")} would delete every segment of $dir; " +
+        "drop the index directory instead of expiring all snapshots")
     snapshots.foreach { s =>
       io.deletePartitions(spark, layout.docs, Seq("docGroup" -> "*", "segment" -> s))
       io.deletePartitions(spark, layout.postings, Seq("docGroup" -> "*", "segment" -> s))

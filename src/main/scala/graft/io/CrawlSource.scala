@@ -142,6 +142,7 @@ object CrawlSource {
   def upsertById(spark: SparkSession, table: String, updates: DataFrame,
       idCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    recoverPromote(spark, table)
     val hasExisting = graft.index.IndexBuilder.fileExists(spark, table)
     // deterministic tiebreak for duplicate ids within one batch
     val tagged = updates.withColumn("_gen", lit(1L))
@@ -170,5 +171,18 @@ object CrawlSource {
     if (fs.exists(p)) fs.rename(p, old) // old aside first — never delete-then-rename
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
     if (fs.exists(old)) fs.delete(old, true)
+    ()
+  }
+
+  /** Crash recovery for [[upsertById]]'s promote window: if a crash landed
+    * between rename(table -> table-old) and rename(tmp -> table), the live
+    * path is missing but `-old` still holds the data — restore it BEFORE
+    * reading, or the next upsert would treat the table as empty and then
+    * delete the sole surviving copy. Idempotent; called at upsert start. */
+  private def recoverPromote(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$table-old")
+    if (!fs.exists(p) && fs.exists(old)) { fs.rename(old, p); () }
   }
 }

@@ -22,6 +22,12 @@ trait TableIO {
     * fixed input — the engine's exactly-once primitive. */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit
 
+  /** FULL-table overwrite that also removes partitions absent from `df` —
+    * for fully-derived tables (dictionary) that must never retain stale
+    * partitions after a rebuild (e.g. a term length that disappeared after
+    * Retention expiry). */
+  def overwriteTable(df: DataFrame, path: String, partitionCols: Seq[String]): Unit
+
   /** Drop whole partition directories matched by partition col=value pairs
     * (retention/rollover path). */
   def deletePartitions(spark: SparkSession, path: String,
@@ -51,13 +57,33 @@ object ParquetTableIO extends TableIO {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
-  /** Deletes `path/<c1>=<v1>/.../<cN>=<vN>` dirs; a `*` value globs that
-    * level (e.g. docGroup=* / segment=snap-1 deletes one segment across all
-    * groups). Partition-dir deletes are metadata-scale: one fs op per
-    * directory, never per row. */
+  override def overwriteTable(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    // static mode: the whole table (all partitions) is replaced
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Deletes `path/<c1>=<v1>/.../<cN>=<vN>` dirs; the literal value `"*"`
+    * globs that level (e.g. docGroup=* / segment=snap-1 deletes one segment
+    * across all groups) — any OTHER value first gets Spark's partition-path
+    * escaping (the on-disk dir for value `snap[2026]` is
+    * `inputSnapshot=snap%5B2026%5D`), then residual glob metacharacters are
+    * backslash-escaped, so ids match only themselves and can never wildcard
+    * into foreign partitions. Partition-dir deletes are metadata-scale: one
+    * fs op per directory, never per row. */
   override def deletePartitions(spark: SparkSession, path: String,
       partitionSpec: Seq[(String, String)]): Unit = {
-    val glob = partitionSpec.map { case (c, v) => s"$c=$v" }.mkString("/")
+    def esc(v: String): String =
+      if (v == "*") v
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v).replaceAll("([\\\\*?\\[\\]{}])", "\\\\$1")
+    val glob = partitionSpec.map { case (c, v) => s"$c=${esc(v)}" }.mkString("/")
     val p = new org.apache.hadoop.fs.Path(s"$path/$glob")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.globStatus(p) match {

@@ -81,7 +81,11 @@ object Multimodal {
     * decode parallelism is independent of video length skew. */
   def frameSample(meta: DataFrame, idCol: String, step: Int): DataFrame =
     meta.select(col(idCol),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+        // zero-frame payloads (empty/corrupt video) emit no rows instead of
+        // tripping sequence()'s boundary check
+        explode(when(col("n_frames") > 0,
+            sequence(lit(0), col("n_frames") - 1, lit(step)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .withColumn("frame_idx", col("frame_idx").cast("long"))
 
   /** Column-expression form of the stub metadata (used by the SQL-oracled

@@ -129,7 +129,12 @@ object HtmlExtract {
   }
 
   /** Cheap HTML sniff — gates the extraction cascade so plain-text corpora
-    * skip the regex battery entirely. */
+    * skip the regex battery entirely. Deliberately requires a DOCUMENT-
+    * level marker (doctype/html/head/body): plain text that merely QUOTES a
+    * tag like `<div class="content">…</div>` must not trip the cascade (the
+    * contentDiv arm would collapse the whole doc to that div's inner text);
+    * tag fragments without a document shell take the F2 tag-strip path,
+    * which still indexes the full text. */
   def looksLikeHtml(c: Column): Column =
-    c.rlike("(?is)<\\s*(!doctype|html|head|body|main|article|div|p|h1|title|meta)\\b")
+    c.rlike("(?is)<\\s*(!doctype|html|head|body)\\b")
 }

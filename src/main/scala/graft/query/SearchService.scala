@@ -59,7 +59,13 @@ object SearchService {
       opts: SearchOpts = SearchOpts(),
       expand: Boolean = false, fuzzy: Boolean = false,
       cache: Option[QueryCache] = None): Option[Response] = {
-    val cacheKey = s"search:$rawQuery:${opts.k}" // reference key shape
+    // reference key SHAPE is search:{query}:{limit}; ours also folds in
+    // every option that changes the page (fields/boosts, phrase, wand,
+    // diversity, expansion flags) — otherwise one call shape would poison
+    // the cache for all others sharing (query, k)
+    val cacheKey = s"search:$rawQuery:${opts.k}:${opts.overfetch}:" +
+      s"${opts.fields.mkString(",")}:${opts.phraseBoost}:${opts.phraseField}:" +
+      s"${opts.wand}:${opts.diversity}:$expand:$fuzzy"
     cache.flatMap(_.get(cacheKey)) match {
       case Some(hit) => return Some(hit.copy(fromCache = true))
       case None => ()

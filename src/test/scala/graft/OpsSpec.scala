@@ -171,6 +171,9 @@ class OpsSpec extends AnyFunSuite {
     assert(fs.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0L, 7L, 14L))
     assert(fs.filter(_._1 == 2L).map(_._2).toSeq == Seq(0L))
     assert(fs.filter(_._1 == 3L).map(_._2).toSeq == Seq(0L))
+    // zero-frame payloads emit no rows instead of crashing sequence()
+    val empty = Seq((9L, 100, 100, 0)).toDF("doc", "width", "height", "n_frames")
+    assert(Multimodal.frameSample(empty, "doc", 7).count() == 0L)
   }
 
   test("multimodal: typed batch decode == column-expression stub (parity)") {

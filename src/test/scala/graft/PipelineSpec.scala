@@ -115,6 +115,25 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "Only Heading")
   }
 
+  test("plain text quoting a tag fragment does NOT trip the HTML cascade") {
+    import graft.pipeline.HtmlExtract
+    // a text doc that QUOTES markup: the content-div arm must not collapse
+    // the document to the quoted element's inner text
+    val quoted = """This plain article discusses markup. For example,
+      |<div class="post-content">example</div> renders a box. The full body
+      |text must stay indexed, every sentence of it.""".stripMargin
+    val r = Seq(quoted).toDF("h")
+      .select(HtmlExtract.looksLikeHtml($"h").as("is"))
+      .collect()(0).getBoolean(0)
+    assert(!r, "tag fragment misclassified as an HTML document")
+    val crawl = Seq(("https://www.t.example.org/a", quoted))
+      .toDF("url", "content")
+      .withColumn("domain", lit(null: String)).withColumn("timestamp", lit(null: String))
+    val text = CrawlSource.toDocuments(crawl).collect()(0).getAs[String]("text")
+    assert(text.contains("full body") && text.contains("discusses markup"),
+      s"plain-text body collapsed: '$text'")
+  }
+
   test("HTML headings + main-content cascade strip noise nodes (T14/F3/F4)") {
     import graft.pipeline.HtmlExtract
     val html = """<html><body>
@@ -327,6 +346,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.head == 1L,
       s"headings^3.0 match must outrank body-only matches, got $hits")
     assert(hits.contains(0L)) // body match still recalled
+  }
+
+  test("upsert promote crash window: recovery restores the set-aside table") {
+    val dir = "/tmp/graft-test/upsert-crash"
+    graft.index.IndexBuilder.deleteDir(spark, dir)
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    CrawlSource.upsertById(spark, s"$dir/t", t1, "id")
+    // simulate a crash between rename(table -> table-old) and
+    // rename(tmp -> table): live path gone, data only in -old
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/t"),
+      new org.apache.hadoop.fs.Path(s"$dir/t-old"))
+    // next upsert must RECOVER the old table before merging, not treat the
+    // table as empty (which would then delete the sole surviving copy)
+    CrawlSource.upsertById(spark, s"$dir/t",
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), "id")
+    val out = spark.read.parquet(s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"), s"got $out")
   }
 
   test("crawl JSONL -> documents + chunks -> tagged shards -> upsert (S1-S6, §3.2)") {

@@ -154,6 +154,29 @@ class ResumeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("a batch of zero-token docs still commits its lineage (no re-ingest loop)") {
+    import spark.implicits._
+    val b1 = CorpusGen.generateDF(spark, 100L, seed = 41L, partitions = 2)
+    // batch 2: docs whose content tokenizes to NOTHING — no postings at all
+    val b2 = spark.range(100, 120)
+      .select($"id".as("docId"), lit("r0").as("repo"),
+        concat(lit("p/"), $"id").as("path"), lit("c").as("commit"),
+        lit("en").as("lang"), lit("!!! ??? ***").as("content"))
+    val b3 = CorpusGen.generateDF(spark, 300L, seed = 41L, partitions = 2)
+      .filter($"docId" >= 200 && $"docId" < 220)
+    val dir = "/tmp/graft-test/resume-zerotok"
+    IndexBuilder.build(spark, b1, dir, params)
+    IndexBuilder.resume(spark, b2.toDF(), dir, params.copy(inputSnapshot = "s1"))
+    // the zero-posting batch must be committed: its groups carry lineage
+    val committedMax = spark.read.parquet(s"$dir/lineage")
+      .agg(max($"maxDocId")).collect()(0).getLong(0)
+    assert(committedMax == 119L,
+      s"zero-token batch not committed (maxDocId=$committedMax)")
+    // and later appends neither re-ingest it nor trip the collision audit
+    IndexBuilder.resume(spark, b3, dir, params.copy(inputSnapshot = "s2"))
+    assert(spark.read.parquet(s"$dir/docs").count() == 140L)
+  }
+
   test("hash-id corpora (no docId column): resume skips whole done groups") {
     import spark.implicits._
     // static-build contract: ids derive from xxhash64 -> pmod group buckets;

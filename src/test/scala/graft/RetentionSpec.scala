@@ -51,6 +51,27 @@ class RetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("expiring the entire index is refused; glob metacharacters in ids are inert") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/retention-guard"
+    IndexBuilder.build(spark,
+      CorpusGen.generateDF(spark, 100L, seed = 47L, partitions = 2), dir, params)
+    val e = intercept[IllegalArgumentException] {
+      Retention.expireSnapshots(spark, dir, Seq("snapshot-0"))
+    }
+    assert(e.getMessage.contains("every segment"))
+    // glob-metacharacter snapshot ids must only match themselves
+    val b2 = CorpusGen.generateDF(spark, 100L, seed = 47L, partitions = 2)
+      .withColumn("docId", $"docId" + 1000L)
+    IndexBuilder.resume(spark, b2, dir, params.copy(inputSnapshot = "snap[2026]"))
+    Retention.expireSnapshots(spark, dir, Seq("snap[2026]"))
+    assert(spark.read.parquet(s"$dir/docs").count() == 100L,
+      "bracketed snapshot id expired the wrong partitions")
+    val snaps = spark.read.parquet(s"$dir/lineage")
+      .select("inputSnapshot").distinct().as[String].collect().toSet
+    assert(snaps == Set("snapshot-0"))
+  }
+
   test("expireOlderThan picks snapshots by lineage age") {
     import spark.implicits._
     val dir = "/tmp/graft-test/retention-age"

@@ -49,6 +49,13 @@ class SearchServiceSpec extends AnyFunSuite {
     val otherK = SearchService.search(index, "python tutorial",
       SearchOpts(k = 5), cache = Some(cache)).get
     assert(!otherK.fromCache)
+    // any option that changes the page keys separately too
+    val otherOpts = SearchService.search(index, "python tutorial",
+      SearchOpts(diversity = false), cache = Some(cache)).get
+    assert(!otherOpts.fromCache, "differing SearchOpts shared a cache entry")
+    val expanded = SearchService.search(index, "python tutorial",
+      expand = true, cache = Some(cache)).get
+    assert(!expanded.fromCache, "expand=true shared the non-expanded entry")
     // capacity 2, third distinct key evicts the least-recently-used
     SearchService.search(index, "machine learning", cache = Some(cache))
     assert(cache.size == 2)
