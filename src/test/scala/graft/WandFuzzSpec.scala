@@ -57,4 +57,37 @@ class WandFuzzSpec extends AnyFunSuite {
       IndexBuilder.deleteDir(spark, dir)
     }
   }
+
+  test("WAND == exhaustive with multi-field boosts (6 random corpora)") {
+    val rng = new scala.util.Random(8261620L)
+    (1 to 6).foreach { trial =>
+      val n = 30 + rng.nextInt(120)
+      val vocab = 5 + rng.nextInt(15)
+      val df = corpus(rng, n, vocab)
+        // path field shares the vocabulary so both fields match query terms
+        .withColumn("path",
+          concat_ws("/", lit("d"), col("docId"),
+            lit(s"v${rng.nextInt(vocab)}"), lit(s"v${rng.nextInt(vocab)}")))
+      val dir = s"/tmp/graft-test/wand-fuzz-mf-$trial"
+      IndexBuilder.build(spark, df, dir, IndexBuilder.Params(
+        blockSize = 2 + rng.nextInt(6), docGroupSize = 8L + rng.nextInt(40),
+        fields = Seq("content", "path")))
+      val idx = new SearchIndex(spark, dir)
+      (1 to 4).foreach { _ =>
+        val q = (0 until 1 + rng.nextInt(3))
+          .map(_ => s"v${rng.nextInt(vocab + 1)}").mkString(" ")
+        val base = SearchOpts(k = 1 + rng.nextInt(8), overfetch = 1 + rng.nextInt(3),
+          diversity = false,
+          fields = Seq("content" -> (0.5 + rng.nextDouble() * 3),
+            "path" -> (0.5 + rng.nextDouble() * 3)),
+          phraseBoost = if (rng.nextBoolean()) 2.0 else 0.0)
+        val ex = QueryEngine.search(idx, q, base.copy(wand = false))
+          .collect().map(_.toSeq).toSeq
+        val wd = QueryEngine.search(idx, q, base.copy(wand = true))
+          .collect().map(_.toSeq).toSeq
+        assert(wd == ex, s"multi-field WAND diverged: trial=$trial q='$q' $base")
+      }
+      IndexBuilder.deleteDir(spark, dir)
+    }
+  }
 }
