@@ -62,10 +62,14 @@ object DecodePostings {
 }
 
 object GraftFunctions {
-  /** Session-scoped registration: `SELECT decode_postings(firstDocId, bytes)`. */
-  def register(spark: SparkSession): Unit =
+  /** Session-scoped registration: `decode_postings(firstDocId, bytes)` and
+    * `cosine_f32(vecA, vecB)`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decode_postings", exprs => DecodePostings(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_f32", exprs => CosineF32(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** Extension-point registration:
@@ -76,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decode_postings"),
       new ExpressionInfo(classOf[DecodePostings].getName, "decode_postings"),
       (exprs: Seq[Expression]) => DecodePostings(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
+      (exprs: Seq[Expression]) => CosineF32(exprs(0), exprs(1))))
   }
 }

@@ -17,14 +17,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float vectors. */
+  /** Left-to-right double dot product of two float vectors (declarative
+    * higher-order-function form; kept as the differential baseline for the
+    * native expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Declarative three-aggregate cosine — bit-identical to [[cosine]]
+    * (FunctionsSpec differential); the HOF lambdas evaluate interpreted. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd expression (graft.functions.CosineF32):
+    * one fused loop inside whole-stage codegen — the hot scalar of every
+    * kNN/near-dup scan. Accumulation order matches [[cosineHof]] and the
+    * DuckDB oracles exactly. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineF32(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Brute-force cosine top-k neighbors of the vector with id `queryId`.
     * Ordering uses the UNROUNDED cosine (tie-break id) — rounding happens

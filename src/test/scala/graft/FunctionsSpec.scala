@@ -29,4 +29,38 @@ class FunctionsSpec extends AnyFunSuite {
         .selectExpr("decode_postings(a, b)").collect()
     }
   }
+
+  test("cosine_f32 native expression == HOF formulation, bitwise, incl. codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7L)
+    val rows = (0 until 200).map { i =>
+      val d = 8 + rng.nextInt(56)
+      (i.toLong, Seq.fill(d)(rng.nextFloat() * 2 - 1f),
+        Seq.fill(d)(rng.nextFloat() * 2 - 1f))
+    }.toDF("id", "a", "b")
+    val native = rows
+      .select(col("id"), graft.ops.Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = rows
+      .select(col("id"), graft.ops.Similarity.cosineHof(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    native.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(hof(id)),
+        s"cosine_f32 differs from HOF at id=$id: $v vs ${hof(id)}")
+    }
+    // SQL registration path + null input
+    val viaSql = Seq((Seq(1.0f, 0.0f), Seq(0.6f, 0.8f)))
+      .toDF("a", "b").selectExpr("cosine_f32(a, b)").collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 0.6) < 1e-6) // float32 literals aren't exact
+    val nullIn = Seq((Seq(1.0f), null.asInstanceOf[Seq[Float]]))
+      .toDF("a", "b").selectExpr("cosine_f32(a, b)").collect()(0)
+    assert(nullIn.isNullAt(0))
+    // type check fires at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, 2)).toDF("a", "b").selectExpr("cosine_f32(a, b)").collect()
+    }
+  }
 }
