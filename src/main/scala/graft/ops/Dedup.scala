@@ -43,12 +43,29 @@ object Dedup {
   private def tokenSet(text: String): Column =
     array_distinct(Analyzer.tokensCol(col(text)))
 
-  /** MinHash signatures: numHashes per row, each min over the token set of a
-    * universal hash — pure array expressions, no shuffle, codegen-friendly.
-    * Zero-token docs have no signature (min over an empty set is undefined)
-    * and are excluded — matching the SQL-oracle semantics, where such docs
-    * produce no token rows at all. Returns input id + mh_0..mh_{n-1}. */
+  /** MinHash signatures: numHashes per row, each min over the token set of
+    * a universal hash — ONE native-expression pass over the tokens
+    * (graft.functions.MinhashF: md5 once per token, all K minima together;
+    * the K-fold `transform` column formulation is kept as [[minhashSignaturesHof]]
+    * and differential-tested bitwise). Zero-token docs have no signature
+    * (min over an empty set is undefined) and are excluded — matching the
+    * SQL-oracle semantics, where such docs produce no token rows at all.
+    * Returns input id + mh_0..mh_{n-1}. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
+      numHashes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = tokenSet(text)
+    val sig = ColumnBridge.column(graft.functions.MinhashF(
+      ColumnBridge.expression(col("_toks")), numHashes))
+    df.withColumn("_toks", toks).filter(size(col("_toks")) > 0)
+      .withColumn("_sig", sig)
+      .select(col(id) +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"mh_$i")): _*)
+  }
+
+  /** Column-expression (higher-order-function) form of
+    * [[minhashSignatures]] — the differential baseline. */
+  def minhashSignaturesHof(df: DataFrame, id: String, text: String,
       numHashes: Int = 8): DataFrame = {
     val toks = tokenSet(text)
     val base = df.withColumn("_toks", toks).filter(size(col("_toks")) > 0)

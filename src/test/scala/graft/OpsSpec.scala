@@ -81,6 +81,21 @@ class OpsSpec extends AnyFunSuite {
       "df-capped join must not generate candidates from dropped hot shingles")
   }
 
+  test("native minhash expression == HOF formulation, bitwise") {
+    val rng = new scala.util.Random(99L)
+    val many = (0 until 80).map { i =>
+      (i.toLong, (0 until 5 + rng.nextInt(60))
+        .map(_ => s"w${rng.nextInt(300)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 4, 8)) {
+      val native = Dedup.minhashSignatures(many, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+      val hof = Dedup.minhashSignaturesHof(many, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+      assert(native == hof, s"native minhash differs from HOF at k=$k")
+    }
+  }
+
   test("minhash: zero-token docs are excluded, not null-signed") {
     val withEmpty = docs.unionByName(Seq((9L, "!!! ???")).toDF("doc_id", "text"))
     val sigs = Dedup.minhashSignatures(withEmpty, "doc_id", "text", 4)
