@@ -16,16 +16,22 @@ import org.apache.spark.sql.types._
   *
   * EXACTNESS: accumulation is left-to-right per accumulator
   * (dot/normA/normB), each element widened to double first — bit-identical
-  * to the previous three-aggregate formulation AND to the DuckDB oracle's
+  * to the three-aggregate HOF formulation AND to the DuckDB oracle's
   * `sum(x*y ORDER BY i)`, so the q30-q32 gate hashes are unchanged.
-  * Unequal lengths fold over the common prefix; null ELEMENTS are not
-  * supported (embedding vectors are dense); null INPUTS return null. */
+  * Unequal lengths return NULL, matching the HOF baseline (zip_with pads
+  * the shorter array with null elements, which nulls the whole aggregate);
+  * null ELEMENTS are not supported (embedding vectors are dense); null
+  * INPUTS return null. */
 case class CosineF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "cosine_f32"
 
   override def dataType: DataType = DoubleType
+
+  // Length-mismatched (non-null) inputs yield null, so the output is
+  // nullable even over non-nullable children.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def isFloatArray(t: DataType) = t match {
@@ -43,7 +49,8 @@ case class CosineF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null // ragged input: match HOF contract
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -69,16 +76,20 @@ case class CosineF32(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

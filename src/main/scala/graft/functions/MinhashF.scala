@@ -23,6 +23,12 @@ case class MinhashF(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // An EMPTY (non-null) token array yields null (no signature is defined
+  // over zero tokens), so the output is nullable even when the child is
+  // not — without this override Catalyst could assume non-null output and
+  // fold away IsNotNull guards above the expression.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) =>

@@ -20,10 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object Retention {
 
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_pending_expiry")
+
+  /** Crash recovery for the expiry window: `expireSnapshots` writes this
+    * marker BEFORE deleting partition dirs and clears it only after
+    * `refreshDerived` commits, so a crash in between can never leave the
+    * derived tables (df/avgdl/nBlocks) silently referencing expired
+    * segments. Recovery re-runs the deletes (idempotent — glob no-match is
+    * a no-op) and the refresh. Called at the start of every expiry and by
+    * `IndexBuilder.refreshDerived` callers that open a possibly-dirty index. */
+  def recoverPendingExpiry(spark: SparkSession, dir: String,
+      io: TableIO = ParquetTableIO): Boolean = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val pending =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val layout = IndexBuilder.Layout(dir)
+    pending.filter(_.nonEmpty).foreach { s =>
+      io.deletePartitions(spark, layout.docs, Seq("docGroup" -> "*", "segment" -> s))
+      io.deletePartitions(spark, layout.postings, Seq("docGroup" -> "*", "segment" -> s))
+      io.deletePartitions(spark, layout.lineage, Seq("inputSnapshot" -> s))
+    }
+    IndexBuilder.refreshDerived(spark, dir, io)
+    fs.delete(p, false)
+    true
+  }
+
   /** Drop the given snapshots' segments from docs/postings + their lineage
     * partitions, then refresh the derived tables. No-op for unknown ids. */
   def expireSnapshots(spark: SparkSession, dir: String,
       snapshots: Seq[String], io: TableIO = ParquetTableIO): Unit = {
+    recoverPendingExpiry(spark, dir, io)
     if (snapshots.isEmpty) return
     val layout = IndexBuilder.Layout(dir)
     // refuse to expire the ENTIRE index: an empty docs/postings table has
@@ -36,12 +67,20 @@ object Retention {
     require(surviving.nonEmpty,
       s"expiring ${snapshots.mkString(",")} would delete every segment of $dir; " +
         "drop the index directory instead of expiring all snapshots")
+    // marker first: a crash after any delete but before refreshDerived is
+    // recovered by recoverPendingExpiry (re-delete + re-refresh)
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(snapshots.mkString("\n").getBytes("UTF-8")) finally out.close()
     snapshots.foreach { s =>
       io.deletePartitions(spark, layout.docs, Seq("docGroup" -> "*", "segment" -> s))
       io.deletePartitions(spark, layout.postings, Seq("docGroup" -> "*", "segment" -> s))
       io.deletePartitions(spark, layout.lineage, Seq("inputSnapshot" -> s))
     }
     IndexBuilder.refreshDerived(spark, dir, io)
+    fs.delete(p, false)
+    ()
   }
 
   /** Expire every snapshot whose NEWEST lineage row is older than `cutoff`

@@ -145,8 +145,12 @@ object CrawlSource {
     recoverPromote(spark, table)
     val hasExisting = graft.index.IndexBuilder.fileExists(spark, table)
     // deterministic tiebreak for duplicate ids within one batch
+    // ignoreNullFields=false: the default to_json DROPS null fields, so two
+    // distinct rows differing only in null-vs-present could serialize
+    // identically and the winner would be nondeterministic again.
     val tagged = updates.withColumn("_gen", lit(1L))
-      .withColumn("_tie", to_json(struct(updates.columns.map(col): _*)))
+      .withColumn("_tie", to_json(struct(updates.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")))
     val merged =
       if (!hasExisting) {
         val w = Window.partitionBy(col(idCol))

@@ -45,8 +45,30 @@ object AnnIvf {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Assign every vector to its nearest centroid (adds `cell`). */
+  /** Assign every vector to its nearest centroid (adds `cell`).
+    *
+    * This is the one pass that touches EVERY vector of the corpus, so it
+    * runs on the native codegen'd `cosine_f32` expression: k is small
+    * (coarse quantizer), so the argmax is k literal-centroid cosine columns
+    * + `array_position(cos, array_max(cos))` — all inside whole-stage
+    * codegen, no interpreted per-row lambda. Ties pick the LOWEST cell id
+    * (array_position returns the first occurrence), matching the previous
+    * minBy semantics bit-for-bit (same double accumulation order), so
+    * existing cell layouts and the q34 gate hash are unchanged. */
   def assign(emb: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val ordered = model.centroids.sortBy(_._1)
+    require(ordered.map(_._1).sameElements(ordered.indices),
+      "centroid ids must be dense 0..k-1 for array_position cell derivation")
+    val cosines = array(ordered.map { case (_, c) =>
+      Similarity.cosine(col(vecCol), typedLit(c)) }: _*)
+    emb.withColumn("cell",
+      (array_position(cosines, array_max(cosines)) - 1).cast("int"))
+  }
+
+  /** The retired interpreted-UDF assignment, kept ONLY as the differential
+    * baseline for AnnIvfSpec (native == UDF on every row). */
+  private[graft] def assignUdfBaseline(emb: DataFrame, vecCol: String,
+      model: Model): DataFrame = {
     val centroids = model.centroids
     val cellOf = udf { (xs: Seq[Float]) =>
       val v = xs.toArray
@@ -56,16 +78,16 @@ object AnnIvf {
   }
 
   /** Top-k by cosine among the nProbe cells nearest to the query vector.
-    * Returns (rank, id, cos, cell). */
+    * Scoring uses the native `cosine_f32` against the broadcast-literal
+    * query vector (no UDF); the probe-cell ranking is driver-side over the
+    * k tiny centroids. Returns (rank, id, cos, cell). */
   def search(assigned: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, model: Model, nProbe: Int = 2): DataFrame = {
     val probeCells = model.centroids
       .sortBy { case (_, c) => -cosine(query, c) }.take(nProbe).map(_._1).toSeq
-    val q = query
-    val cosUdf = udf { (xs: Seq[Float]) => cosine(xs.toArray, q) }
     assigned
       .filter(col("cell").isin(probeCells: _*)) // partition-pruned at scale
-      .withColumn("cos", cosUdf(col(vecCol)))
+      .withColumn("cos", Similarity.cosine(col(vecCol), typedLit(query)))
       .orderBy(col("cos").desc, col(idCol).asc) // unrounded order (tie-break id)
       .limit(k)
       .withColumn("rank", row_number().over(

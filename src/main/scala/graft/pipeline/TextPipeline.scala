@@ -225,6 +225,31 @@ object TextPipeline {
       .withColumn("chunk_id", concat(col(id), lit("_chunk_"), col("chunk_index")))
   }
 
+  /** T12b word-window chunker — the DECLARATIVE form of the reference
+    * chunker's unpunctuated arm (cleaner.rs:127-200 falls back to grouping
+    * whitespace words when no sentence boundary exists; sentenceChunks
+    * reproduces that via `grouped(400)` inside its UDF). This variant is the
+    * scale path: pure column expressions (split / sequence / transform /
+    * slice / array_join), fully codegen'd, no per-row lambda — the chunker
+    * you run over 100 TB of unpunctuated/code text. Same output contract as
+    * [[sentenceChunks]]: (id, chunk_index, text_chunk, word_count,
+    * chunk_id), chunks shorter than minChars dropped, chunk_index re-packed
+    * over the KEPT chunks (posexplode after the filter, as the UDF's
+    * accumulate-then-emit does). */
+  def wordWindowChunks(df: DataFrame, id: String, text: String,
+      wordsPerChunk: Int = 400, minChars: Int = 50): DataFrame = {
+    val toks = split(trim(col(text)), "\\s+")
+    val nWin = greatest(
+      ceil(size(toks) / lit(wordsPerChunk.toDouble)).cast("int") - 1, lit(0))
+    val windows = transform(sequence(lit(0), nWin),
+      i => array_join(slice(toks, i * wordsPerChunk + 1, wordsPerChunk), " "))
+    val kept = filter(coalesce(windows, array().cast("array<string>")),
+      c => length(c) >= minChars)
+    df.select(col(id), posexplode(kept).as(Seq("chunk_index", "text_chunk")))
+      .withColumn("word_count", size(split(col("text_chunk"), "\\s+")))
+      .withColumn("chunk_id", concat(col(id), lit("_chunk_"), col("chunk_index")))
+  }
+
   /** T13 chunk<->heading relevance (optimized.rs:339-368): a heading is
     * relevant if its words intersect the chunk's first-20 long words; <=3. */
   def relevantHeadings(chunk: Column, headings: Column): Column = {

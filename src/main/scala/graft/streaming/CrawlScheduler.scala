@@ -14,8 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   *    capped at 8 (`increase_backoff`);
   *  - `change_frequency` is an exponential moving average of the
   *    changed/unchanged signal (alpha 0.3);
-  *  - next-crawl delay = max(15 min, backoffHours * multiplier hours),
-  *    capped at 30 days (crawl_metadata.h:42-44's clamp shape).
+  *  - next-crawl delay follows `update_next_crawl_time`
+  *    (crawl_metadata.h:39-45) exactly: backoffHours =
+  *    min(720, max(1, hoursSincePreviousChange * multiplier)), delay =
+  *    max(15 min, backoffHours * 60) — the adaptive time-delta term is the
+  *    hours since the page last CHANGED, tracked in state
+  *    (`previous_change_time`, crawl_metadata.h:24,49), with the latest
+  *    observation timestamp standing in for wall-clock `now` so the fold
+  *    stays deterministic.
   *
   * State lives in the streaming state store: keyed by domain, checkpointed
   * with the query, recovered on restart — the scale posture is one state
@@ -35,24 +41,29 @@ object CrawlScheduler {
       ts: java.sql.Timestamp)
 
   case class DomainState(crawlCount: Long, lastHash: String,
-      backoffMultiplier: Int, changeFrequency: Double)
+      backoffMultiplier: Int, changeFrequency: Double,
+      lastChangeTsMillis: Long, lastSeenTsMillis: Long)
 
   case class Schedule(domain: String, crawlCount: Long,
       backoffMultiplier: Int, changeFrequency: Double,
       nextCrawlDelayMinutes: Long)
 
-  def delayMinutes(multiplier: Int): Long = {
-    val hours = math.min(24L * 30, math.max(1L, BaseBackoffHours * multiplier))
-    math.min(MaxDelayMinutes, math.max(MinDelayMinutes, hours * 60))
+  /** crawl_metadata.h:39-45's clamp, with hours-since-previous-change as
+    * the adaptive delta term. A fresh change (delta 0) floors at 1 hour. */
+  def delayMinutes(multiplier: Int, hoursSinceChange: Long): Long = {
+    val backoffHours =
+      math.min(24L * 30, math.max(BaseBackoffHours, hoursSinceChange * multiplier))
+    math.min(MaxDelayMinutes, math.max(MinDelayMinutes, backoffHours * 60))
   }
 
   /** Fold one group's batch rows into its state; emit the updated schedule. */
   def updateState(domain: String, rows: Iterator[Observation],
       state: GroupState[DomainState]): Schedule = {
-    var st = state.getOption.getOrElse(DomainState(0L, "", 1, 0.0))
+    var st = state.getOption.getOrElse(DomainState(0L, "", 1, 0.0, 0L, 0L))
     rows.toSeq.sortBy(r => (r.ts.getTime, r.contentHash)).foreach { r =>
       if (st.crawlCount == 0L) {
-        st = DomainState(1L, r.contentHash, 1, 0.0)
+        // UrlMetadata ctor: previous_change_time = now on first sighting
+        st = DomainState(1L, r.contentHash, 1, 0.0, r.ts.getTime, r.ts.getTime)
       } else {
         val changed = r.contentHash != st.lastHash
         val mult =
@@ -60,13 +71,17 @@ object CrawlScheduler {
           else math.min(MaxBackoffMultiplier, st.backoffMultiplier * 2)
         val freq = Alpha * (if (changed) 1.0 else 0.0) +
           (1.0 - Alpha) * st.changeFrequency
+        val lastChange = if (changed) r.ts.getTime else st.lastChangeTsMillis
         st = DomainState(st.crawlCount + 1, r.contentHash, mult,
-          BigDecimal(freq).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          BigDecimal(freq).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          lastChange, r.ts.getTime)
       }
     }
     state.update(st)
+    val hoursSinceChange =
+      math.max(0L, (st.lastSeenTsMillis - st.lastChangeTsMillis) / 3600000L)
     Schedule(domain, st.crawlCount, st.backoffMultiplier, st.changeFrequency,
-      delayMinutes(st.backoffMultiplier))
+      delayMinutes(st.backoffMultiplier, hoursSinceChange))
   }
 
   /** Streaming (or batch) tracking: one Schedule row per domain per

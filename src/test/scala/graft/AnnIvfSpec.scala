@@ -43,4 +43,14 @@ class AnnIvfSpec extends AnyFunSuite {
     val recall = brute.count(ivf2.contains) / 10.0
     assert(recall >= 0.5, s"recall@10 too low: $recall")
   }
+
+  test("native codegen'd assign == interpreted-UDF baseline on every row") {
+    val native = AnnIvf.assign(emb, "embedding", model)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val udfBase = AnnIvf.assignUdfBaseline(emb, "embedding", model)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == udfBase, "native cell assignment diverged from UDF baseline")
+  }
 }

@@ -63,4 +63,24 @@ class FunctionsSpec extends AnyFunSuite {
       Seq((1, 2)).toDF("a", "b").selectExpr("cosine_f32(a, b)").collect()
     }
   }
+
+  test("cosine_f32 on ragged (length-mismatched) vectors is null, like the HOF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ragged = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+    val nat = ragged.select(graft.ops.Similarity.cosine(col("a"), col("b"))).collect()(0)
+    val hof = ragged.select(graft.ops.Similarity.cosineHof(col("a"), col("b"))).collect()(0)
+    assert(hof.isNullAt(0), "HOF baseline contract changed: ragged no longer null")
+    assert(nat.isNullAt(0), "native cosine_f32 must return null on ragged input")
+    // and the interpreted (non-codegen) eval path agrees
+    val expr = graft.functions.CosineF32(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f, 3.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))
+    assert(expr.eval(null) == null)
+    assert(expr.nullable)
+  }
 }

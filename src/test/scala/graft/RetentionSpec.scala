@@ -72,6 +72,46 @@ class RetentionSpec extends AnyFunSuite {
     assert(snaps == Set("snapshot-0"))
   }
 
+  test("crash between partition deletes and refreshDerived is recovered via the pending marker") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/retention-crash"
+    val fresh = "/tmp/graft-test/retention-crash-fresh"
+    val b1 = CorpusGen.generateDF(spark, 200L, seed = 53L, partitions = 2)
+    val b2 = CorpusGen.generateDF(spark, 200L, seed = 53L, partitions = 2)
+      .withColumn("docId", $"docId" + 1000L)
+    IndexBuilder.build(spark, b1, dir, params)
+    IndexBuilder.resume(spark, b2, dir, params.copy(inputSnapshot = "snapshot-1"))
+
+    // Simulate the crash window: marker written, docs partitions deleted,
+    // postings/lineage NOT yet touched, refreshDerived never ran.
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_pending_expiry")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write("snapshot-0".getBytes("UTF-8")) finally out.close()
+    graft.io.ParquetTableIO.deletePartitions(spark, s"$dir/docs",
+      Seq("docGroup" -> "*", "segment" -> "snapshot-0"))
+
+    // Recovery must finish the deletes AND re-derive dictionary/stats.
+    assert(Retention.recoverPendingExpiry(spark, dir))
+    assert(!fs.exists(marker), "marker must be cleared after recovery")
+    assert(spark.read.parquet(s"$dir/docs").count() == 200L)
+    val snaps = spark.read.parquet(s"$dir/lineage")
+      .select("inputSnapshot").distinct().as[String].collect().toSet
+    assert(snaps == Set("snapshot-1"), "lineage of the expired segment survived the crash")
+
+    IndexBuilder.build(spark, b2, fresh, params)
+    def dict(d: String) = spark.read.parquet(s"$d/dictionary")
+      .select("field", "term", "df", "totalTf").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(dict(dir) == dict(fresh), "recovered dictionary != fresh build of survivors")
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stats(dir) == stats(fresh), "recovered stats != fresh build of survivors")
+
+    // idempotent: a second recover call is a no-op
+    assert(!Retention.recoverPendingExpiry(spark, dir))
+  }
+
   test("expireOlderThan picks snapshots by lineage age") {
     import spark.implicits._
     val dir = "/tmp/graft-test/retention-age"

@@ -143,11 +143,13 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("crawlCount"), r.getAs[Int]("backoffMultiplier"),
         r.getAs[Double]("changeFrequency"),
         r.getAs[Long]("nextCrawlDelayMinutes"))).toMap
-    // a.org: 2 crawls, changed -> multiplier reset to 1, ema = 0.3
+    // a.org: 2 crawls, changed -> multiplier reset to 1, ema = 0.3; the
+    // change stamps previous_change_time = now, so delta=0 -> 1h floor = 60
     assert(last("a.org") == ((2L, 1, 0.3, 60L)), s"got ${last("a.org")}")
-    // b.org: 3 crawls, unchanged twice -> multiplier 1*2*2 = 4, ema 0.0,
-    // delay = 4h = 240 min
-    assert(last("b.org") == ((3L, 4, 0.0, 240L)), s"got ${last("b.org")}")
+    // b.org: 3 crawls, unchanged twice -> multiplier 1*2*2 = 4, ema 0.0;
+    // last change was first sighting (01-01), last seen 01-03 -> delta 48h,
+    // delay = min(720, 48*4) = 192h = 11520 min (crawl_metadata.h:41-43)
+    assert(last("b.org") == ((3L, 4, 0.0, 11520L)), s"got ${last("b.org")}")
   }
 
   test("watermarked windowed aggregation over an event stream") {
