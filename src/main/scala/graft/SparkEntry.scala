@@ -51,6 +51,36 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** Chunk table for the chunk-level gate: the declarative word-window
+    * chunker (the reference chunker's unpunctuated arm) over documents,
+    * with the synthetic long chunk docId (parent*64 + chunk_index). */
+  def chunkMeta(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.TextPipeline.wordWindowChunks(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+        wordsPerChunk = 16, minChars = 50)
+      .withColumn("docId",
+        graft.query.ChunkSearch.chunkDocId(col("doc_id"), col("chunk_index")))
+
+  /** The reference's REAL index unit: chunks (indexer.py:330-340 chunk
+    * mapping; `text_chunk` is the primary search field,
+    * opensearch_service.py:198-239). repo = parent domain so R9 diversity is
+    * the reference's domain diversity. */
+  def chunksIndex(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#chunks", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-chunks"
+      val parents = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val corpus = chunkMeta(spark, sfDir)
+        .join(parents, "doc_id")
+        .select(col("docId"), col("source").as("repo"),
+          concat_ws("/", col("source"), col("doc_id"), col("chunk_index")).as("path"),
+          col("lang"), col("text_chunk").as("content"))
+      IndexBuilder.build(spark, corpus, dir,
+        IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+          fields = Seq("content")))
+      new SearchIndex(spark, dir)
+    })
+
   private def bm25(spark: SparkSession, sfDir: String, query: String, k: Int,
       diversity: Boolean, wand: Boolean): DataFrame = {
     val idx = docsIndex(spark, sfDir)
@@ -172,6 +202,32 @@ object SparkEntry {
             .withColumn("qid", lit(i.toLong))
         }.reduce(_ unionByName _)
     }),
+    "q50_chunk_search" -> ((s, d) => {
+      // the reference's PRIMARY data flow end-to-end: chunk-level index
+      // (text_chunk^1.5 + match_phrase 2.0), domain diversity over chunk
+      // hits, then the chunk->document merge with CHUNK-FIELD PRECEDENCE
+      // (both sides carry word_count; the chunk's must win or the oracle
+      // hash breaks) and _id = parent id (opensearch_service.py:145-196)
+      val idx = chunksIndex(s, d)
+      val cm = chunkMeta(s, d)
+        .select(col("docId"), col("doc_id"),
+          col("chunk_index").cast("long").as("chunk_idx"),
+          col("word_count").cast("long").as("word_count"))
+      val parents = t(s, d, "documents")
+        .select(col("doc_id"), col("source").as("domain"), col("lang"),
+          col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("word_count"))
+      graft.query.ChunkSearch.search(idx, cm, parents, "spark merge join",
+          SearchOpts(k = 10, overfetch = 3, diversity = true, wand = true,
+            fields = Seq("content" -> 1.5), phraseBoost = 2.0,
+            phraseField = "content"),
+          docIdCol = "doc_id")
+        .select(col("rank").cast("long").as("rnk"), col("_id").as("doc_id"),
+          col("chunk_idx"), round(col("score"), 6).as("score"),
+          round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
+          col("lang"), col("n_chars"), col("word_count"))
+    }),
+
     "q16_phrase_count" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, d, "documents").select(col("doc_id"),
@@ -516,6 +572,87 @@ SELECT CAST(row_number() OVER (ORDER BY $composite) AS BIGINT) AS rnk,
 FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
   }
 
+  /** Chunk-level search oracle (q50): word-window chunking (16-token
+    * windows, minChars drop, re-packed indexes) -> per-chunk BM25 with field
+    * boost + n-term phrase arm -> top-m -> composite sort + domain diversity
+    * -> rank -> parent-document merge where word_count is the CHUNK's
+    * (chunk-field precedence) — a from-first-principles SQL restatement of
+    * chunksIndex + ChunkSearch.search. */
+  private def chunkSearchSql(termsInOrder: Seq[String], k: Int, boost: Double,
+      phraseBoost: Double, w: Int = 16, minChars: Int = 50,
+      pack: Int = 64): String = {
+    val sorted = termsInOrder.sorted.distinct
+    val vals = sorted.map(t => s"('$t')").mkString(",")
+    val m = k * 3
+    val cap = math.max(1, k / 3)
+    val composite = "score DESC, quality DESC, reposcore DESC, cid"
+    val leadCols = (1 until termsInOrder.length)
+      .map(i => s"lead(term, $i) OVER (PARTITION BY cid ORDER BY pos) AS t$i")
+      .mkString(", ")
+    val adj = (s"term = '${termsInOrder.head}'" +:
+      termsInOrder.tail.zipWithIndex.map { case (t, i) => s"t${i + 1} = '$t'" })
+      .mkString(" AND ")
+    s"""WITH wt AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+win AS (
+  SELECT doc_id, pos // $w AS widx, string_agg(w, ' ' ORDER BY pos) AS chunk,
+         count(*) AS wcnt
+  FROM wt GROUP BY doc_id, pos // $w),
+chk AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx) - 1 AS BIGINT) AS chunk_idx,
+         chunk, wcnt
+  FROM win WHERE length(chunk) >= $minChars),
+chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk, wcnt FROM chk),
+ctoks AS (
+  SELECT cid, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS term
+  FROM (SELECT cid, regexp_extract_all(lower(chunk), '[a-z0-9]+') AS tk FROM chx)),
+cdl AS (SELECT cid, count(*) AS dl FROM ctoks GROUP BY cid),
+st AS (SELECT (SELECT count(*) FROM chx) AS n,
+              (SELECT CAST(count(*) AS DOUBLE) FROM ctoks)
+                / (SELECT count(*) FROM chx) AS avgdl),
+q(term) AS (VALUES $vals),
+dft AS (SELECT term, count(DISTINCT cid) AS df FROM ctoks
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+tft AS (SELECT cid, term, count(*) AS tf FROM ctoks
+        WHERE term IN (SELECT term FROM q) GROUP BY cid, term),
+contrib AS (
+  SELECT t.cid, t.term,
+         $boost * ln((st.n - f.df + 0.5) / (f.df + 0.5)) *
+         (t.tf * (1.2 + 1.0) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))) AS c
+  FROM tft t JOIN dft f USING (term) JOIN cdl l ON t.cid = l.cid, st),
+base AS (SELECT cid, sum(c ORDER BY term) AS bscore FROM contrib GROUP BY cid),
+pn AS (SELECT cid, term, $leadCols FROM ctoks),
+pocc AS (SELECT cid, count(*) AS occ FROM pn WHERE $adj GROUP BY cid),
+pidf AS (SELECT min(ln((st.n - f.df + 0.5) / (f.df + 0.5))) AS v FROM dft f, st),
+ph AS (SELECT o.cid,
+         $phraseBoost * pidf.v *
+         (o.occ * (1.2 + 1.0) / (o.occ + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))) AS p
+       FROM pocc o JOIN cdl l ON o.cid = l.cid, st, pidf),
+sc AS (SELECT b.cid, b.bscore + coalesce(ph.p, 0) AS score
+       FROM base b LEFT JOIN ph ON b.cid = ph.cid),
+topm AS (SELECT cid, score FROM sc ORDER BY score DESC, cid LIMIT $m),
+meta AS (
+  SELECT c.cid, d.source AS repo,
+    CASE WHEN l.dl < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3 WHEN l.dl < 300 THEN 0.7
+         WHEN l.dl < 1000 THEN 1.5 WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
+  FROM chx c JOIN documents d USING (doc_id) JOIN cdl l ON c.cid = l.cid),
+joined AS (SELECT t.cid, t.score, m.repo, m.quality, m.reposcore
+           FROM topm t JOIN meta m USING (cid)),
+passed AS (
+  SELECT *, CASE WHEN row_number() OVER (PARTITION BY repo ORDER BY $composite) <= $cap
+                 THEN 0 ELSE 1 END AS pass FROM joined),
+page AS (SELECT * FROM passed ORDER BY pass, $composite LIMIT $k),
+ranked AS (SELECT CAST(row_number() OVER (ORDER BY pass, $composite) AS BIGINT) AS rnk,
+                  cid, score FROM page)
+SELECT r.rnk, c.doc_id, c.chunk_idx, round(r.score, 6) AS score,
+       round(r.score, 6) AS chunk_score, d.source AS domain, d.lang,
+       d.n_chars, CAST(c.wcnt AS BIGINT) AS word_count
+FROM ranked r JOIN chx c USING (cid) JOIN documents d USING (doc_id)"""
+  }
+
   private val metaSqlWidth =
     "64 + (((CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT) * 16) | (CAST(('0x' || substring(md5(text), 3, 2)) AS BIGINT) // 16)) % 1856)"
   private val metaSqlHeight =
@@ -589,6 +726,8 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
         bm25FieldsSql(Seq("merge", "join"), 10, cb = 1.5, pb2 = 2.5,
           phrase = Some(("merge", "join")), phraseBoost = 2.0, qid = 1))
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
+    "q50_chunk_search" -> chunkSearchSql(Seq("spark", "merge", "join"),
+      k = 10, boost = 1.5, phraseBoost = 2.0),
     "q18_phrase_engine" ->
       s"""WITH $ToksPos,
         nxt AS (SELECT doc_id, term,

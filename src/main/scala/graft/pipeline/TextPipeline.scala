@@ -242,7 +242,7 @@ object TextPipeline {
     val nWin = greatest(
       ceil(size(toks) / lit(wordsPerChunk.toDouble)).cast("int") - 1, lit(0))
     val windows = transform(sequence(lit(0), nWin),
-      i => array_join(slice(toks, i * wordsPerChunk + 1, wordsPerChunk), " "))
+      i => array_join(slice(toks, i * wordsPerChunk + 1, lit(wordsPerChunk)), " "))
     val kept = filter(coalesce(windows, array().cast("array<string>")),
       c => length(c) >= minChars)
     df.select(col(id), posexplode(kept).as(Seq("chunk_index", "text_chunk")))

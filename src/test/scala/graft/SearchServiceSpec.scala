@@ -78,4 +78,93 @@ class SearchServiceSpec extends AnyFunSuite {
     val r = SearchService.search(index, "pythn", expand = true, fuzzy = true).get
     assert(r.expandedTerms.contains("python"), s"terms=${r.expandedTerms}")
   }
+
+  test("chunk-level lifecycle: sentence-chunk index, domain diversity, chunk-precedence doc merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.query.ChunkSearch
+
+    // crafted punctuated docs -> the REAL sentence chunker splits each into
+    // one chunk per sentence (maxChars below a two-sentence pack)
+    val docsAll = Seq(
+      ("doc_a1", 0L, "a.org", "Doc A1",
+        "alpha alpha alpha beta gamma delta epsilon zeta eta theta iota kappa. " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi stop. " +
+        "two three four five six seven eight nine ten eleven twelve thirteen."),
+      ("doc_a2", 1L, "a.org", "Doc A2",
+        "alpha alpha beta gamma delta epsilon zeta eta theta iota kappa lambda. " +
+        "alpha mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega."),
+      ("doc_b1", 2L, "b.org", "Doc B1",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu."),
+      ("doc_c1", 3L, "c.org", "Doc C1",
+        "alpha alpha alpha alpha beta gamma delta epsilon zeta eta theta iota."),
+      ("doc_d1", 4L, "d.org", "Doc D1",
+        "one two three four five six seven eight nine ten eleven twelve more. " +
+        "blue red green yellow purple orange brown black white gray pink cyan. " +
+        "north south east west upper lower inner outer first second third last. " +
+        "iron gold silver copper zinc nickel cobalt lead tin carbon helium neon.")
+    ).toDF("document_id", "num", "domain", "title", "text")
+
+    val chunks = graft.pipeline.TextPipeline.sentenceChunks(
+      docsAll, "document_id", "text", maxChars = 90, minChars = 20)
+    // 3 + 2 + 1 + 1 + 4 = 11 chunks; 'alpha' appears in 5 -> positive idf
+    assert(chunks.count() == 11L, "sentence chunker produced an unexpected chunk count")
+
+    val meta = chunks.join(
+      docsAll.select($"document_id", $"num", $"domain"), "document_id")
+    val corpus = meta.select(
+      ChunkSearch.chunkDocId($"num", $"chunk_index").as("docId"),
+      $"domain".as("repo"),
+      concat_ws("/", $"domain", $"document_id", $"chunk_index").as("path"),
+      lit("en").as("lang"), $"text_chunk".as("content"))
+    val dir = "/tmp/graft-test/chunk-service-index"
+    IndexBuilder.deleteDir(spark, dir)
+    IndexBuilder.build(spark, corpus, dir,
+      IndexBuilder.Params(blockSize = 16, docGroupSize = 64L, fields = Seq("content")))
+    val cidx = new SearchIndex(spark, dir)
+
+    val chunkMeta = meta.select(
+      ChunkSearch.chunkDocId($"num", $"chunk_index").as("docId"),
+      $"document_id", $"chunk_index".cast("long").as("chunk_index"),
+      $"text_chunk", $"word_count".cast("long").as("word_count"))
+    // parent table WITHOUT doc_c1 (merge must drop its hits, the
+    // `if document_data:` guard) and with a deliberately wrong doc-level
+    // word_count the chunk's value must override (dict-merge precedence)
+    val documents = docsAll.filter($"document_id" =!= "doc_c1")
+      .select($"document_id", $"domain", $"title", lit(999L).as("word_count"))
+
+    // diversity on, k=4 -> cap 1/domain: page is c1, a1#0, b1, then a2#0 on
+    // the fill pass; the merge then drops c1 (parent missing)
+    val merged = ChunkSearch.search(cidx, chunkMeta, documents, "alpha",
+        SearchOpts(k = 4, overfetch = 3, diversity = true, wand = true),
+        docIdCol = "document_id")
+      .orderBy($"rank").collect()
+    assert(merged.map(_.getAs[String]("_id")).toSeq ==
+      Seq("doc_a1", "doc_b1", "doc_a2"),
+      s"got ${merged.map(_.getAs[String]("_id")).toSeq}")
+    assert(merged.map(_.getAs[Int]("rank")).toSeq == Seq(2, 3, 4),
+      "rank must be assigned BEFORE the parent merge (reference flow)")
+    // top two surviving domains are distinct (the diversity cap)
+    assert(merged.take(2).map(_.getAs[String]("domain")).distinct.length == 2)
+    // chunk-field precedence: word_count is the CHUNK's, not the doc's 999
+    merged.foreach { r =>
+      val wc = r.getAs[Long]("word_count")
+      val txt = r.getAs[String]("text_chunk")
+      assert(wc == txt.split("\\s+").length.toLong && wc != 999L,
+        s"merged word_count $wc is not the chunk's (text=$txt)")
+      assert(txt.contains("alpha"))
+      assert(r.getAs[String]("title").startsWith("Doc "), "doc-only field lost")
+      assert(r.getAs[Double]("chunk_score") == r.getAs[Double]("score"))
+    }
+
+    // diversity off: doc_a2 has TWO alpha chunks -> its _id appears twice
+    // (one merged row PER CHUNK HIT, reference merge semantics)
+    val flat = ChunkSearch.search(cidx, chunkMeta, documents, "alpha",
+        SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true),
+        docIdCol = "document_id")
+      .collect()
+    val ids = flat.map(_.getAs[String]("_id")).toSeq
+    assert(ids.count(_ == "doc_a2") == 2, s"expected doc_a2 twice, got $ids")
+    assert(!ids.contains("doc_c1"), "hit with missing parent survived the merge")
+  }
 }
