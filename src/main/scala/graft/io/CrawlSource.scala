@@ -95,11 +95,27 @@ object CrawlSource {
       col("headings"), col("keywords"),
       when(isHtml, HtmlExtract.author(col("content"))).as("author"),
       when(isHtml, HtmlExtract.canonicalUrl(col("content"))).as("canonical_url"),
-      graft.pipeline.TextPipeline.contentType(col("title"), col("text")).as("content_type"),
+      // JSON-LD @type is the FIRST content-type arm
+      // (metadata_extractor.rs:217-230); keyword rules are the fallback
+      coalesce(
+        when(isHtml, HtmlExtract.jsonLdType(col("content"))),
+        graft.pipeline.TextPipeline.contentType(col("title"), col("text")))
+        .as("content_type"),
       TextPipeline.categories(col("text")).as("categories"),
       coalesce(
         when(isHtml, TextPipeline.normalizeDate(HtmlExtract.publishedDate(col("content")))),
         TextPipeline.normalizeDate(col("timestamp"))).as("published_date"),
+      when(isHtml, TextPipeline.normalizeDate(HtmlExtract.modifiedDate(col("content"))))
+        .as("modified_date"),
+      // primary image + favicon, src resolved against the page url (T20) —
+      // the reference passes resolve_url into both extractors
+      when(isHtml && HtmlExtract.primaryImage(col("content")).isNotNull, struct(
+        TextPipeline.resolveUrl(
+          HtmlExtract.primaryImage(col("content")).getField("src"), col("url")).as("src"),
+        HtmlExtract.primaryImage(col("content")).getField("alt").as("alt")))
+        .as("primary_image"),
+      when(isHtml, TextPipeline.resolveUrl(HtmlExtract.favicon(col("content")), col("url")))
+        .as("favicon"),
       struct(
         col("wc").as("word_count"),
         Scoring.contentQualityScore(col("text"), col("title"),

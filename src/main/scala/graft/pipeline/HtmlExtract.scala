@@ -41,6 +41,38 @@ object HtmlExtract {
   def metaName(html: Column, key: String): Column = metaBy(html, "name", key)
   def metaProperty(html: Column, key: String): Column = metaBy(html, "property", key)
 
+  /** The reference's meta_map folds property= and name= keys into ONE map
+    * (metadata_extractor.rs:113-125, property.or(name)) — every cascade key
+    * therefore accepts either attribute. */
+  private def metaAny(html: Column, key: String): Column =
+    coalesce(metaProperty(html, key), metaName(html, key))
+
+  // ------------------------------------------------------------- JSON-LD
+  // The reference parses <script type=...ld+json> blocks with serde and
+  // consults them FIRST for @type/dates/author/image
+  // (metadata_extractor.rs:60-77,126-133). Here: extract the first JSON-LD
+  // block's body and probe it with get_json_object (a native Catalyst
+  // expression) — malformed JSON simply yields null, like serde's Err arm.
+
+  /** Raw body of the first JSON-LD script block, or null. */
+  def jsonLd(html: Column): Column =
+    nullIfEmpty(regexp_extract(html,
+      """(?is)<script[^>]*type\s*=\s*["'][^"']*ld\+json[^"']*["'][^>]*>(.*?)</script>""", 1))
+
+  /** get_json_object over the JSON-LD block (null when absent/malformed). */
+  def jsonLdField(html: Column, path: String): Column =
+    nullIfEmpty(get_json_object(jsonLd(html), path))
+
+  /** A JSON-LD value that is a name: either `key.name` (Person/Organization
+    * object) or `key` itself when it is a plain string — the reference's
+    * extract_name_from_value (metadata_extractor.rs:417-427 shape). */
+  private def jsonLdName(html: Column, key: String): Column = {
+    val raw = jsonLdField(html, s"$$.$key")
+    coalesce(
+      jsonLdField(html, s"$$.$key.name"),
+      when(raw.isNotNull && !raw.startsWith("{") && !raw.startsWith("["), raw))
+  }
+
   /** Tag-stripped, entity-stripped, whitespace-collapsed inner text. */
   def innerText(c: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(c,
@@ -57,26 +89,93 @@ object HtmlExtract {
     tagText(html, "title"),
     tagText(html, "h1"))
 
-  /** T15 description cascade: meta description -> og:description ->
-    * first <p> (metadata_extractor.rs:237-265 order). */
+  /** T15 description cascade (metadata_extractor.rs:157-165 order):
+    * og:description -> twitter:description -> meta description; first <p>
+    * kept as a last text fallback (the python side's cleaned-text stand-in). */
   def description(html: Column): Column = coalesce(
-    metaName(html, "description"),
     metaProperty(html, "og:description"),
+    metaName(html, "twitter:description"),
+    metaName(html, "description"),
     tagText(html, "p"))
 
-  /** T15 author cascade (metadata_extractor.rs:268-297). */
+  /** T15 author cascade (metadata_extractor.rs:408-445 order):
+    * meta article:author/author -> JSON-LD author(.name) ->
+    * JSON-LD publisher(.name) -> byline-ish class text (<=100 chars). */
   def author(html: Column): Column = coalesce(
-    metaName(html, "author"),
-    metaProperty(html, "article:author"))
+    metaAny(html, "article:author"),
+    metaAny(html, "author"),
+    jsonLdName(html, "author"),
+    jsonLdName(html, "publisher"),
+    nullIfEmpty(when(length(innerText(regexp_extract(html,
+      """(?is)<([a-z]+)[^>]*class\s*=\s*["'][^"']*(?:author|byline)[^"']*["'][^>]*>(.*?)</\1>""",
+      2))) < 100, innerText(regexp_extract(html,
+      """(?is)<([a-z]+)[^>]*class\s*=\s*["'][^"']*(?:author|byline)[^"']*["'][^>]*>(.*?)</\1>""",
+      2)))))
 
-  /** T15 published-date cascade (metadata_extractor.rs:300-335):
-    * article:published_time -> meta date/publish-date -> <time datetime>. */
+  /** T15 published-date cascade (metadata_extractor.rs:357-404 get_dates):
+    * meta article:published_time/datePublished/date -> JSON-LD
+    * datePublished -> <time datetime>. */
   def publishedDate(html: Column): Column = coalesce(
-    metaProperty(html, "article:published_time"),
-    metaName(html, "date"),
-    metaName(html, "publish-date"),
+    metaAny(html, "article:published_time"),
+    metaAny(html, "datePublished"),
+    metaAny(html, "date"),
+    jsonLdField(html, "$.datePublished"),
     nullIfEmpty(regexp_extract(html,
       """(?is)<time[^>]*datetime\s*=\s*["']([^"']*)["']""", 1)))
+
+  /** T15 modified-date cascade (metadata_extractor.rs:364-389):
+    * meta article:modified_time/dateModified/lastmod -> JSON-LD
+    * dateModified. */
+  def modifiedDate(html: Column): Column = coalesce(
+    metaAny(html, "article:modified_time"),
+    metaAny(html, "dateModified"),
+    metaAny(html, "lastmod"),
+    jsonLdField(html, "$.dateModified"))
+
+  /** JSON-LD @type, lowercased — the FIRST arm of the reference's
+    * content-type classifier (metadata_extractor.rs:217-230); keyword rules
+    * (TextPipeline.contentType) are the fallback. */
+  def jsonLdType(html: Column): Column =
+    lower(jsonLdField(html, "$['@type']"))
+
+  /** Primary image (metadata_extractor.rs:276-327): JSON-LD image (string
+    * or {url}) -> og:image -> first <img> whose src is not an
+    * icon/logo/favicon. Returns struct(src, alt) — alt is "Featured image"
+    * for the metadata arms, the img's alt for the DOM arm (empty default).
+    * src is UNRESOLVED here; resolve against the page url with
+    * TextPipeline.resolveUrl (the reference passes resolve_url in). */
+  def primaryImage(html: Column): Column = {
+    val jsonImg = coalesce(
+      jsonLdField(html, "$.image.url"),
+      when(jsonLdField(html, "$.image").isNotNull &&
+        !jsonLdField(html, "$.image").startsWith("{") &&
+        !jsonLdField(html, "$.image").startsWith("["),
+        jsonLdField(html, "$.image")))
+    val og = metaProperty(html, "og:image")
+    val srcPat = """(?is)src\s*=\s*["']([^"']*)["']"""
+    val imgTags = regexp_extract_all(html, lit("(?is)<img[^>]*>"), lit(0))
+    val good = filter(imgTags, t => {
+      val s = regexp_extract(t, srcPat, 1)
+      length(s) > 0 && !s.contains("icon") && !s.contains("logo") &&
+        !s.contains("favicon")
+    })
+    val first = element_at(good, 1)
+    val firstSrc = regexp_extract(first, srcPat, 1)
+    val firstAlt = regexp_extract(first, """(?is)alt\s*=\s*["']([^"']*)["']""", 1)
+    when(jsonImg.isNotNull,
+        struct(jsonImg.as("src"), lit("Featured image").as("alt")))
+      .when(og.isNotNull, struct(og.as("src"), lit("Featured image").as("alt")))
+      .when(size(good) > 0, struct(firstSrc.as("src"), firstAlt.as("alt")))
+  }
+
+  /** Favicon (metadata_extractor.rs:329-356): first <link> whose rel
+    * CONTAINS "icon" (icon / shortcut icon / apple-touch-icon), href value,
+    * either attribute order. Unresolved, like [[primaryImage]]. */
+  def favicon(html: Column): Column = coalesce(
+    nullIfEmpty(regexp_extract(html,
+      """(?is)<link[^>]*rel\s*=\s*["'][^"']*icon[^"']*["'][^>]*href\s*=\s*["']([^"']*)["']""", 1)),
+    nullIfEmpty(regexp_extract(html,
+      """(?is)<link[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["'][^"']*icon[^"']*["']""", 1)))
 
   /** T15 canonical URL (metadata_extractor.rs:338-356), either attr order. */
   def canonicalUrl(html: Column): Column = coalesce(
@@ -85,13 +184,26 @@ object HtmlExtract {
     nullIfEmpty(regexp_extract(html,
       """(?is)<link[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']""", 1)))
 
-  /** T11 meta keywords -> lowercased, trimmed, de-duplicated array
-    * (metadata_extractor.rs:168-213 splits on commas). */
-  def metaKeywords(html: Column): Column =
-    array_distinct(filter(
-      transform(split(coalesce(metaName(html, "keywords"), lit("")), ","),
-        k => trim(lower(k))),
-      k => length(k) > 0))
+  /** T11 keywords (metadata_extractor.rs:168-213): modern `article:tag`
+    * meta properties first; ONLY when none exist, fall back to the legacy
+    * comma-split `keywords` meta. Tags shorter than 3 chars dropped, at
+    * most 15 kept. The reference collects into a HashSet (unordered); here
+    * document order de-duplicated — a deterministic refinement. Lowercased
+    * for the keyword ranking field. */
+  def metaKeywords(html: Column): Column = {
+    val tagPat =
+      """(?is)<meta[^>]*property\s*=\s*["']article:tag["'][^>]*content\s*=\s*["']([^"']*)["']"""
+    val tagPat2 =
+      """(?is)<meta[^>]*content\s*=\s*["']([^"']*)["'][^>]*property\s*=\s*["']article:tag["']"""
+    def clean(arr: Column): Column =
+      array_distinct(filter(transform(arr, k => trim(lower(k))),
+        k => length(k) >= 3))
+    val tags = clean(concat(
+      regexp_extract_all(html, lit(tagPat), lit(1)),
+      regexp_extract_all(html, lit(tagPat2), lit(1))))
+    val legacy = clean(split(coalesce(metaName(html, "keywords"), lit("")), ","))
+    slice(when(size(tags) > 0, tags).otherwise(legacy), 1, 15)
+  }
 
   /** T14 heading extraction: h1-h3 inner texts in document order
     * (optimized.rs:143-161), empty headings dropped. */

@@ -115,6 +115,72 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "Only Heading")
   }
 
+  test("JSON-LD arms: @type-first content type, author/date fallbacks, image + favicon (T15/T16)") {
+    import graft.pipeline.HtmlExtract
+    // a modern article: metadata lives in the JSON-LD block, not meta tags
+    val html = """<!DOCTYPE html><html><head>
+      |<title>Plain Title</title>
+      |<script type="application/ld+json">
+      |{"@context":"https://schema.org","@type":"NewsArticle",
+      | "datePublished":"2025-03-04T10:00:00Z","dateModified":"2025-03-05T11:00:00Z",
+      | "author":{"@type":"Person","name":"Grace Hopper"},
+      | "image":{"@type":"ImageObject","url":"/img/lead.jpg"}}
+      |</script>
+      |<link rel="shortcut icon" href="/favicon.ico">
+      |</head><body><img src="/logo.png"><img src="/img/body.jpg" alt="Body">
+      |<p>Buy this product now at a great price.</p></body></html>""".stripMargin
+    val r = Seq(html).toDF("h").select(
+      HtmlExtract.jsonLdType($"h").as("ty"),
+      HtmlExtract.author($"h").as("a"),
+      HtmlExtract.publishedDate($"h").as("p"),
+      HtmlExtract.modifiedDate($"h").as("m"),
+      HtmlExtract.primaryImage($"h").as("img"),
+      HtmlExtract.favicon($"h").as("fav")).collect()(0)
+    assert(r.getString(0) == "newsarticle")
+    assert(r.getString(1) == "Grace Hopper")
+    assert(r.getString(2) == "2025-03-04T10:00:00Z")
+    assert(r.getString(3) == "2025-03-05T11:00:00Z")
+    val img = r.getStruct(4)
+    assert(img.getAs[String]("src") == "/img/lead.jpg" &&
+      img.getAs[String]("alt") == "Featured image")
+    assert(r.getString(5) == "/favicon.ico")
+
+    // @type wins over keyword rules in the pipeline's content_type; the
+    // image/favicon srcs resolve against the page url
+    val crawl = Seq(("https://www.ex.example.org/news/a1", html)).toDF("url", "content")
+      .withColumn("domain", lit(null: String)).withColumn("timestamp", lit(null: String))
+    val doc = CrawlSource.toDocuments(crawl).collect()(0)
+    assert(doc.getAs[String]("content_type") == "newsarticle",
+      "JSON-LD @type must beat the keyword rules ('product' text is present)")
+    assert(doc.getAs[org.apache.spark.sql.Row]("primary_image")
+      .getAs[String]("src") == "https://www.ex.example.org/img/lead.jpg")
+    assert(doc.getAs[String]("favicon") == "https://www.ex.example.org/favicon.ico")
+    assert(doc.getAs[String]("modified_date") == "2025-03-05T11:00:00Z")
+
+    // no JSON-LD: og:image arm, then first non-logo <img>; string-valued
+    // JSON-LD author; article:tag keywords beat legacy keywords
+    val html2 = """<html><head>
+      |<script type="application/ld+json">{"author":"Alan Turing","image":"https://cdn.ex.org/x.png"}</script>
+      |<meta property="article:tag" content="Machine Learning">
+      |<meta property="article:tag" content="AI">
+      |<meta name="keywords" content="legacy, keywords">
+      |</head><body><p>text</p></body></html>""".stripMargin
+    val r2 = Seq(html2).toDF("h").select(
+      HtmlExtract.author($"h").as("a"),
+      HtmlExtract.primaryImage($"h").getField("src").as("src"),
+      HtmlExtract.metaKeywords($"h").as("k")).collect()(0)
+    assert(r2.getString(0) == "Alan Turing")
+    assert(r2.getString(1) == "https://cdn.ex.org/x.png")
+    // "ai" (2 chars) dropped by the >=3 rule; article:tag beats legacy
+    assert(r2.getSeq[String](2) == Seq("machine learning"))
+
+    val noJson = "<html><body><img src=\"/icons/x.png\"><img src=\"/pic/one.jpg\" alt=\"One\"></body></html>"
+    val r3 = Seq(noJson).toDF("h")
+      .select(HtmlExtract.primaryImage($"h").as("img")).collect()(0).getStruct(0)
+    assert(r3.getAs[String]("src") == "/pic/one.jpg" && r3.getAs[String]("alt") == "One",
+      "icon-path image must be skipped for the first meaningful image")
+  }
+
   test("plain text quoting a tag fragment does NOT trip the HTML cascade") {
     import graft.pipeline.HtmlExtract
     // a text doc that QUOTES markup: the content-div arm must not collapse
@@ -175,6 +241,39 @@ class PipelineSpec extends AnyFunSuite {
     // lossless-ish: all sentences present across chunks
     val joined = chunks.map(_.getAs[String]("text_chunk")).mkString(" ")
     assert((1 to 100).forall(i => joined.contains(s"number $i ") || joined.contains(s"number $i is")))
+  }
+
+  test("word-window chunker: declarative windows, minChars drop re-packs indexes (T12b)") {
+    // 34 four-char words -> windows of 16/16/2; the 2-word tail (9 chars)
+    // falls below minChars and is dropped
+    val t1 = (1 to 34).map(i => f"w$i%03d").mkString(" ")
+    val c1 = TextPipeline.wordWindowChunks(
+      Seq(("d1", t1)).toDF("id", "text"), "id", "text",
+      wordsPerChunk = 16, minChars = 50).collect()
+    assert(c1.length == 2)
+    assert(c1.map(_.getAs[Int]("chunk_index")).toSeq == Seq(0, 1))
+    assert(c1.forall(_.getAs[Int]("word_count") == 16))
+    assert(c1(0).getAs[String]("text_chunk").startsWith("w001") &&
+      c1(1).getAs[String]("text_chunk").startsWith("w017"))
+    assert(c1(0).getAs[String]("chunk_id") == "d1_chunk_0")
+
+    // a short MIDDLE window (16 one-char words = 31 chars) is dropped and
+    // the following window re-packs to chunk_index 1
+    val t2 = ((1 to 16).map(i => f"w$i%03d") ++ Seq.fill(16)("a") ++
+      (1 to 16).map(i => f"v$i%03d")).mkString(" ")
+    val c2 = TextPipeline.wordWindowChunks(
+      Seq(("d2", t2)).toDF("id", "text"), "id", "text",
+      wordsPerChunk = 16, minChars = 50).collect()
+    assert(c2.length == 2)
+    assert(c2.map(_.getAs[Int]("chunk_index")).toSeq == Seq(0, 1))
+    assert(c2(1).getAs[String]("text_chunk").startsWith("v001"),
+      "dropped middle window must re-pack the next chunk's index")
+
+    // whole-text-below-minChars and null text produce no chunks
+    val c3 = TextPipeline.wordWindowChunks(
+      Seq(("d3", "too short"), ("d4", null)).toDF("id", "text"), "id", "text",
+      wordsPerChunk = 16, minChars = 50).collect()
+    assert(c3.isEmpty)
   }
 
   test("chunk filters: min length (F5) + meaningfulness (F6)") {
