@@ -43,6 +43,24 @@ object ExplainDump {
         levenshtein(col("term"), lit("pythn")) <= 1)
       .select("term")
 
+    // chunk->document merge: both joins broadcast the <=k-row PAGE into the
+    // big tables — a chunk search never shuffles the chunk/document tables
+    val page = QueryEngine.search(index, "python tutorial",
+      SearchOpts(k = 10)).select(col("rank"), col("docId"), col("score"))
+    val chunkMetaDemo = index.docs
+      .select(col("docId"), (col("docId") / 64).cast("long").as("document_id"),
+        pmod(col("docId"), lit(64L)).cast("long").as("chunk_index"))
+    val parentsDemo = index.docs
+      .select((col("docId") / 64).cast("long").as("document_id"),
+        col("repo").as("domain"), col("lang")).dropDuplicates("document_id")
+    val chunkMerge = graft.query.ChunkSearch.mergeChunkDoc(
+      chunkMetaDemo.join(broadcast(page), Seq("docId")).drop("docId"),
+      parentsDemo, "document_id")
+
+    // fallback with the wildcard guard CLOSED: no substring scan in the plan
+    val guardedFallback = QueryEngine.fallback(index, "zzznotindexed src",
+      SearchOpts(), wildcardMaxDocs = 0L)
+
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
        |Captured by `runMain graft.bench.ExplainDump` (2k-doc index,
@@ -61,7 +79,13 @@ object ExplainDump {
        |   predicates;
        |6. fuzzy expansion's dictionary probe prunes on the tlen PARTITION
        |   key (`PartitionFilters`) — levenshtein runs only inside the
-       |   matching length bands, never over the whole vocabulary.
+       |   matching length bands, never over the whole vocabulary;
+       |7. the chunk->document merge broadcasts the <=k-row hit PAGE into
+       |   the big tables twice (`BroadcastHashJoin`) — a chunk search never
+       |   shuffles the chunk or document tables;
+       |8. the fallback's wildcard substring arm disappears from the plan
+       |   when the corpus-size guard is closed — above `wildcardMaxDocs`
+       |   only the indexed path-field arm runs.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |
@@ -91,6 +115,18 @@ object ExplainDump {
        |
        |```
        |${fmt(fuzzy)}
+       |```
+       |
+       |## 7. Chunk->document merge (ChunkSearch): broadcast-page joins only
+       |
+       |```
+       |${fmt(chunkMerge)}
+       |```
+       |
+       |## 8. Fallback with the wildcard guard closed (no substring scan)
+       |
+       |```
+       |${fmt(guardedFallback)}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

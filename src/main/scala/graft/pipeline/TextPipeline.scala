@@ -273,28 +273,16 @@ object TextPipeline {
       .otherwise("article")
   }
 
-  /** T17 content categories (metadata_extractor.rs:464-574 reduced):
-    * token-set intersection with category keyword lists, top-3 by hits. */
-  val CategoryKeywords: Map[String, Seq[String]] = Map(
-    "technology" -> Seq("software", "spark", "data", "code", "api", "query",
-      "database", "python", "javascript", "react", "hash", "merge"),
-    "science" -> Seq("research", "study", "theory", "experiment", "physics"),
-    "business" -> Seq("market", "customer", "revenue", "price", "sales"),
-    "education" -> Seq("tutorial", "learn", "course", "guide", "basics"))
-
+  /** T17 content categories — full reference parity
+    * (metadata_extractor.rs:464-574): Porter2-stemmed unigram+bigram set
+    * scored against the ten reference keyword lists, top-3 by hits with
+    * declaration-order tiebreak. Runs as a native expression
+    * (graft.functions.ContentCategories) — the stem+adjacency fold has no
+    * faithful column formulation. */
   def categories(text: Column): Column = {
-    val toks = array_distinct(Analyzer.tokensCol(text))
-    val scored = CategoryKeywords.toSeq.sortBy(_._1).map { case (cat, kws) =>
-      struct(size(array_intersect(toks,
-        array(kws.map(lit): _*))).as("hits"), lit(cat).as("cat"))
-    }
-    // sort by (hits desc, cat asc), keep top-3 with hits>0
-    val arr = array_sort(array(scored: _*),
-      (a, b) => when(a.getField("hits") > b.getField("hits"), -1)
-        .when(a.getField("hits") < b.getField("hits"), 1)
-        .when(a.getField("cat") < b.getField("cat"), -1)
-        .when(a.getField("cat") > b.getField("cat"), 1).otherwise(0))
-    slice(filter(arr, x => x.getField("hits") > 0), 1, 3).getField("cat")
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.ContentCategories(
+      ColumnBridge.expression(text)))
   }
 
   /** T19 domain extraction (common/domain_ranker.py:123-139): host of the

@@ -34,8 +34,10 @@ object LocalSearcher {
     * With `shard = Some((i, n))` the image holds only docGroups with
     * `docGroup % n == i` — the loading scan is partition-pruned on the
     * docGroup partition key, so a serving node reads ONLY its shard's
-    * bytes. Dictionary and corpus stats stay global (tiny, and required so
-    * every shard computes bit-identical scores). */
+    * bytes. Corpus stats stay resident (a handful of rows, required so
+    * every shard computes bit-identical scores); the DICTIONARY is not
+    * loaded at all — query-term dfs are served by [[dfs]]'s bounded hot
+    * cache over the tlen-partitioned table. */
   final class LocalIndex(index: SearchIndex, shard: Option[(Int, Int)] = None) {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     private def shardFilter(c: org.apache.spark.sql.Column) = shard match {
@@ -52,9 +54,39 @@ object LocalSearcher {
       * counter where WAND pruning shows, not block decodes. */
     val scoredCount = new _root_.java.util.concurrent.atomic.AtomicLong(0L)
     val stats: Map[String, (Long, Double)] = index.stats
-    val dict: Map[(String, String), Long] =
-      index.dictionary.select("field", "term", "df").collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    /** Query-term df, served from a bounded hot cache backed by the
+      * tlen-partitioned dictionary — a serving node holds only the terms
+      * queries actually touch, NEVER the full vocabulary (at 10^9 terms a
+      * per-shard dictionary map is tens of GB; the global df a shard needs
+      * for bit-identical scores is exactly its queries' terms). Misses are
+      * fetched in ONE pruned probe per query (tlen + term predicates reach
+      * the scan) and ABSENT terms are cached too (None), so unknown-term
+      * queries don't re-probe. LRU-bounded; `residentDictTerms` reports the
+      * footprint (BENCH counter). */
+    private val dictCacheMax = 1 << 20
+    private val dictCache =
+      new _root_.java.util.LinkedHashMap[(String, String), Option[Long]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: _root_.java.util.Map.Entry[(String, String), Option[Long]]): Boolean =
+          size() > dictCacheMax
+      }
+    def residentDictTerms: Int = dictCache.synchronized(dictCache.size())
+    def dfs(fields: Seq[String], terms: Seq[String]): Map[(String, String), Long] = {
+      val keys = for (f <- fields; t <- terms) yield (f, t)
+      val misses = dictCache.synchronized {
+        keys.filterNot(dictCache.containsKey)
+      }
+      if (misses.nonEmpty) {
+        val probed = index.lookup(fields, misses.map(_._2).distinct)
+        dictCache.synchronized {
+          misses.foreach(k => dictCache.put(k, probed.get(k)))
+        }
+      }
+      dictCache.synchronized {
+        keys.flatMap(k => Option(dictCache.get(k)).flatten.map(k -> _)).toMap
+      }
+    }
     /** (field, term) -> blocks ordered by (docGroup, firstDocId) — segments
       * of an incrementally-grown group restart blockIdx, so firstDocId is
       * the global within-group order. */
@@ -107,8 +139,7 @@ object LocalSearcher {
     if (terms.isEmpty) return Seq.empty
     val fieldNames = opts.fields.map(_._1)
     val boosts = opts.fields.toMap
-    val dfs = (for (f <- fieldNames; t <- terms; d <- li.dict.get((f, t)))
-      yield (f, t) -> d).toMap
+    val dfs = li.dfs(fieldNames, terms.toSeq)
     if (dfs.isEmpty) return Seq.empty
 
     val weights = dfs.map { case ((f, t), df) =>

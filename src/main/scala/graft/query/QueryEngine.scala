@@ -39,17 +39,23 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
     this
   }
 
-  /** (field, term) -> df. Hot map if warmed, else a predicate-pushed scan. */
+  /** (field, term) -> df. Hot map if warmed, else a predicate-pushed scan —
+    * tlen IS the dictionary's partition column, so probing with the query
+    * terms' lengths prunes to O(distinct term lengths) partitions before
+    * the term filter runs (same trick as fuzzyExpand's length bands). */
   def lookup(fields: Seq[String], terms: Seq[String]): Map[(String, String), Long] = {
     if (terms.isEmpty) return Map.empty
     val hd = hotDict
     if (hd != null)
       (for (f <- fields; t <- terms; d <- hd.get((f, t))) yield (f, t) -> d).toMap
-    else
+    else {
+      val lens: Seq[Any] = terms.map(_.length).distinct
       dictionary
+        .filter(col("tlen").isin(lens: _*)) // partition pruning
         .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
         .select("field", "term", "df").collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
   }
 }
 
@@ -166,26 +172,34 @@ object QueryEngine {
 
   /** Fallback query (R6 shape): path^2.0 + content, plus a path-substring
     * "wildcard" arm at a fixed epsilon score; used when the primary search
-    * is empty (opensearch_service.py:241-261). */
-  def fallback(index: SearchIndex, query: String, opts: SearchOpts = SearchOpts()): DataFrame = {
+    * is empty (opensearch_service.py:241-261).
+    *
+    * The wildcard arm is DOUBLY bounded: its output is top-(k*overfetch)
+    * docIds via TakeOrderedAndProject (never more than a page), and the
+    * scan itself only runs when the corpus is at most `wildcardMaxDocs`
+    * (checked against the already-resident stats — no extra job). Above
+    * the guard the arm is skipped entirely: a substring scan of 10^12
+    * paths per fallback query is the one plan shape that cannot be made
+    * scale-safe (it is what the reference's OpenSearch `wildcard url *q*`
+    * degrades to as well), and the INDEXED form of the same intent — the
+    * relaxed path-field arm above, path tokens being a first-class postings
+    * field — still runs. */
+  def fallback(index: SearchIndex, query: String, opts: SearchOpts = SearchOpts(),
+      wildcardMaxDocs: Long = 10000000L): DataFrame = {
     val spark = index.spark
     import spark.implicits._
     val relaxed = opts.copy(fields = Seq("path" -> 2.0, "content" -> 1.0),
       phraseBoost = 0.0)
     val scored = candidates(index, query, relaxed)
     val needle = query.toLowerCase(java.util.Locale.ROOT).trim
-    // wildcard arm, BOUNDED: top-(k*overfetch) matching docIds via
-    // TakeOrderedAndProject over a (docId, path)-projected scan — the arm's
-    // output can never exceed one page. The indexed form of this query is
-    // the relaxed path-field arm above (path tokens are a first-class
-    // postings field); the substring scan is the last-ditch tiebreak, as in
-    // the reference's `wildcard url *q*` (opensearch_service.py:241-261).
-    val wildcard = index.docs
-      .filter(lower($"path").contains(needle))
-      .select($"docId").orderBy($"docId").limit(opts.k * opts.overfetch)
-      .withColumn("score", lit(0.1))
-    scored.unionByName(wildcard)
-      .groupBy($"docId").agg(max($"score").as("score"))
+    val corpusDocs = index.stats.values.headOption.map(_._1).getOrElse(0L)
+    val scoredAndWild =
+      if (corpusDocs > wildcardMaxDocs) scored
+      else scored.unionByName(index.docs
+        .filter(lower($"path").contains(needle))
+        .select($"docId").orderBy($"docId").limit(opts.k * opts.overfetch)
+        .withColumn("score", lit(0.1)))
+    scoredAndWild.groupBy($"docId").agg(max($"score").as("score"))
   }
 
   /** Scored candidate set (docId, score) — OR semantics over distinct query

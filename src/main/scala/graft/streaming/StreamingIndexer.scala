@@ -26,10 +26,13 @@ object StreamingIndexer {
 
   /** Start (and run to completion, AvailableNow) the incremental build over
     * all parquet files in `inputDir`. Rows must carry a `docId` column or
-    * one is derived (IndexBuilder.withDocId). */
+    * one is derived (IndexBuilder.withDocId). `segmentPrefix` names the
+    * lineage segments (`<prefix>-N`) so multiple sources feeding one index
+    * (dual-priority) never collide. */
   def runAvailableNow(spark: SparkSession, inputDir: String, schema: StructType,
       indexDir: String, checkpointDir: String,
-      params: IndexBuilder.Params = IndexBuilder.Params()): Unit = {
+      params: IndexBuilder.Params = IndexBuilder.Params(),
+      segmentPrefix: String = "epoch"): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 4) // backpressure (reference S8/K6 analog)
@@ -47,7 +50,47 @@ object StreamingIndexer {
           // batch straddling a docGroup boundary APPENDS to the group
           // instead of being dropped (IndexBuilder.pendingRows).
           IndexBuilder.resume(spark, batch, indexDir,
-            params.copy(inputSnapshot = s"epoch-$epochId"))
+            params.copy(inputSnapshot = s"$segmentPrefix-$epochId"))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** S8 TRUE dual-priority drain (indexer.py:81-123 DualPriorityQueue.get +
+    * :737-742 main loop): fresh files ALWAYS preempt backlog — the backlog
+    * is processed one micro-batch at a time, and before EVERY backlog
+    * micro-batch the fresh source is drained to empty, so a backlog batch
+    * never runs while fresh files are pending (fresh arriving mid-backlog
+    * is picked up before the next backlog batch, exactly the reference's
+    * "process backlog only if no fresh files were processed" loop).
+    *
+    * Each source keeps its own streaming checkpoint and lineage-segment
+    * prefix (fresh-N / backlog-N), so exactly-once holds independently per
+    * source. `beforeBacklogBatch` is a test seam for injecting fresh files
+    * mid-drain; production callers leave it default. */
+  def runDualPriority(spark: SparkSession, freshDir: String, backlogDir: String,
+      schema: StructType, indexDir: String, checkpointDir: String,
+      params: IndexBuilder.Params = IndexBuilder.Params(),
+      beforeBacklogBatch: Long => Unit = _ => ()): Unit = {
+    def drainFresh(): Unit =
+      runAvailableNow(spark, freshDir, schema, indexDir,
+        s"$checkpointDir/fresh", params, segmentPrefix = "fresh")
+    drainFresh()
+    val backlog = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(backlogDir)
+    val q = backlog.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$checkpointDir/backlog")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        beforeBacklogBatch(epochId)
+        drainFresh() // fresh preempts: drained before EVERY backlog batch
+        if (!batch.isEmpty) {
+          IndexBuilder.resume(spark, batch, indexDir,
+            params.copy(inputSnapshot = s"backlog-$epochId"))
         }
         ()
       }

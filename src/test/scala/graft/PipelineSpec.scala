@@ -285,6 +285,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.length == 1 && kept(0).startsWith("the data pipeline"))
   }
 
+  test("Porter2 stemmer: published-algorithm vectors incl. exceptions (T17)") {
+    import graft.pipeline.Porter2.stem
+    val vectors = Seq(
+      "running" -> "run", "hopping" -> "hop", "hoping" -> "hope",
+      "flies" -> "fli", "ties" -> "tie", "cries" -> "cri",
+      "matches" -> "match", "investments" -> "invest",
+      "conditional" -> "condit", "rational" -> "ration",
+      "generously" -> "generous", "nationalization" -> "nation",
+      "caresses" -> "caress", "sensational" -> "sensat",
+      // exceptional forms + invariants
+      "dying" -> "die", "lying" -> "lie", "skies" -> "sky", "news" -> "news",
+      "early" -> "earli", "proceed" -> "proceed", "inning" -> "inning",
+      // consonant-y handling
+      "enjoyment" -> "enjoy", "crying" -> "cri",
+      // short words untouched
+      "be" -> "be", "ox" -> "ox")
+    vectors.foreach { case (in, want) =>
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
+    }
+  }
+
+  test("content categories: stemmed ngram matching over the 10 reference lists (T17)") {
+    def cats(text: String): Seq[String] =
+      Seq(text).toDF("t").select(TextPipeline.categories($"t"))
+        .collect()(0).getSeq[String](0)
+    // stemming is REQUIRED for these hits: matches->match, tournaments->
+    // tournament, teams->team
+    assert(cats("The football matches and tournaments brought both teams together") ==
+      Seq("sports"))
+    // bigram keyword: adjacent non-stop pair "mental health"
+    val health = cats("Improve mental health with wellness fitness and a balanced diet")
+    assert(health.head == "health")
+    // tie between news (news, report) and sports (football, game) resolves
+    // in declaration order: news first
+    assert(cats("news report of the football game") == Seq("news", "sports"))
+    // at most 3 categories, hits-descending (travel 3 > health 2 = fashion 2;
+    // fitness/wellness stem to fit/well and so never match their keywords —
+    // faithful reference quirk: keyword strings are not stemmed)
+    val many = cats("health fitness wellness doctor | travel hotel flight | " +
+      "food recipe | fashion style | school")
+    assert(many == Seq("travel", "health", "fashion"), s"got $many")
+    // no hits -> empty
+    assert(cats("lorem ipsum dolor sit amet").isEmpty)
+  }
+
   test("query validation (F9)") {
     assert(TextPipeline.validateQuery("  python <script> tutorial! ")
       .contains("python script tutorial!"))

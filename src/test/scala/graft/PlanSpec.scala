@@ -69,6 +69,29 @@ class PlanSpec extends AnyFunSuite {
     assert(expanded.contains("python"), s"got $expanded")
   }
 
+  test("fallback wildcard arm is guarded: above the doc cap the plan has no substring scan") {
+    // guard closed (cap 0): the plan must not contain the path Contains
+    // filter — only the indexed (postings) arm runs
+    val guarded = planOf(QueryEngine.fallback(index, "zzznotindexed src",
+      SearchOpts(), wildcardMaxDocs = 0L))
+    assert(!guarded.contains("Contains("),
+      s"substring scan ran despite the guard:\n${guarded.take(3000)}")
+    // guard open (default): the arm exists and is bounded by
+    // TakeOrderedAndProject (never more than a page of docIds)
+    val open = planOf(QueryEngine.fallback(index, "zzznotindexed src", SearchOpts()))
+    assert(open.contains("Contains(") && open.contains("TakeOrderedAndProject"),
+      s"wildcard arm missing or not TakeOrdered-bounded:\n${open.take(3000)}")
+  }
+
+  test("dictionary lookup probe prunes tlen partitions for the query terms") {
+    val plan = planOf(index.dictionary
+      .filter(org.apache.spark.sql.functions.col("tlen").isin(6: Any, 8: Any))
+      .filter(org.apache.spark.sql.functions.col("term").isin("python", "tutorial")))
+    val partFilters = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(partFilters.contains("tlen"), s"lookup probe unpruned:\n${plan.take(2000)}")
+  }
+
   test("dictionary lookup scan prunes columns and pushes the term filter") {
     import org.apache.spark.sql.functions._
     val df = index.dictionary

@@ -96,6 +96,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched, "stream(straddled batches) != batch(all)")
   }
 
+  test("dual-priority drain: fresh files always preempt backlog (S8)") {
+    import spark.implicits._
+    val base = "/tmp/graft-test/stream-dual"
+    IndexBuilder.deleteDir(spark, base)
+    val fresh = s"$base/fresh"
+    val backlog = s"$base/backlog"
+
+    def gen(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).map(i => (i, CorpusGen.row(37L, i)))
+        .select(col("_1").as("docId"), col("_2.repo").as("repo"),
+          col("_2.path").as("path"), col("_2.commit").as("commit"),
+          col("_2.lang").as("lang"), col("_2.content").as("content"),
+          col("_2.sha256").as("sha256"))
+
+    // fresh f1 (ids 0-49), backlog b (ids 1000-1199 in 8 files -> 2
+    // micro-batches at maxFilesPerTrigger=4)
+    gen(0L, 50L, 2).write.mode("overwrite").parquet(fresh)
+    gen(1000L, 1200L, 8).write.mode("overwrite").parquet(backlog)
+    val schema = spark.read.parquet(fresh).schema
+
+    // inject NEW fresh files (ids 2000-2049) at the start of the SECOND
+    // backlog micro-batch — the drain must index them before that batch
+    StreamingIndexer.runDualPriority(spark, fresh, backlog, schema,
+      s"$base/index", s"$base/ckpt", params,
+      beforeBacklogBatch = { epochId =>
+        if (epochId == 1L)
+          gen(2000L, 2050L, 2).write.mode("append").parquet(fresh)
+        ()
+      })
+
+    // nothing lost: 50 + 200 + 50 docs
+    assert(spark.read.parquet(s"$base/index/docs").count() == 300L)
+
+    // lineage commit order proves preemption: every fresh segment is
+    // committed no later than any backlog segment that ran after it; in
+    // particular the mid-drain fresh batch (docIds 2000+) commits BEFORE
+    // backlog epoch 1
+    val lin = spark.read.parquet(s"$base/index/lineage")
+      .select(col("inputSnapshot"), col("updatedAt").cast("long").as("ts"),
+        col("maxDocId"))
+      .collect()
+    val freshLateTs = lin.filter(r => r.getAs[String]("inputSnapshot")
+      .startsWith("fresh") && r.getAs[Long]("maxDocId") >= 2000L)
+      .map(_.getAs[Long]("ts"))
+    val backlog1Ts = lin.filter(_.getAs[String]("inputSnapshot") == "backlog-1")
+      .map(_.getAs[Long]("ts"))
+    assert(freshLateTs.nonEmpty, "mid-drain fresh batch never indexed")
+    assert(backlog1Ts.nonEmpty, "backlog epoch 1 missing")
+    assert(freshLateTs.max <= backlog1Ts.min,
+      "a backlog batch ran while fresh files were pending")
+
+    // and the result equals a from-scratch batch build of the union
+    val batchDir = s"$base/batch"
+    IndexBuilder.build(spark,
+      gen(0L, 50L, 2).toDF().unionByName(gen(1000L, 1200L, 8).toDF())
+        .unionByName(gen(2000L, 2050L, 2).toDF()), batchDir, params)
+    val q = "python tutorial"
+    val streamed = QueryEngine.search(new SearchIndex(spark, s"$base/index"), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    val batched = QueryEngine.search(new SearchIndex(spark, batchDir), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    assert(streamed == batched, "dual-priority result != batch build of union")
+  }
+
   test("mapGroupsWithState recrawl scheduler: backoff doubles, resets on change, survives restart") {
     import spark.implicits._
     import graft.streaming.CrawlScheduler

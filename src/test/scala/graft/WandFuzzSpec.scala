@@ -58,6 +58,32 @@ class WandFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("WAND == exhaustive on the Zipfian-tf bench generator (reference queries)") {
+    // the corpus the bench's skewed_refquery_block_skip_ratio is measured
+    // on: rank identity must hold exactly where the block-max skips bite
+    import graft.core.CorpusGen
+    val df = CorpusGen.generateSkewedDF(spark, 3000L, seed = 42L, partitions = 4)
+    val dir = "/tmp/graft-test/wand-fuzz-skew"
+    IndexBuilder.build(spark, df, dir,
+      IndexBuilder.Params(blockSize = 32, docGroupSize = 512L))
+    val idx = new SearchIndex(spark, dir)
+    val li = graft.query.LocalSearcher.load(idx)
+    graft.Bench.ReferenceQueries.foreach { q =>
+      val base = SearchOpts(k = 10, overfetch = 3, diversity = false)
+      val ex = QueryEngine.search(idx, q, base.copy(wand = false))
+        .collect().map(_.toSeq).toSeq
+      val wd = QueryEngine.search(idx, q, base.copy(wand = true))
+        .collect().map(_.toSeq).toSeq
+      assert(wd == ex, s"WAND diverged on skewed corpus for '$q'")
+      // and the serving path agrees too (same scoring code, one heap)
+      val sv = graft.query.LocalSearcher.search(li, q, base)
+        .map(h => Seq(h.rank, h.docId, h.score, h.repo, h.path, h.lang,
+          h.qualityScore, h.repoScore))
+      assert(sv == ex.map(_.toSeq), s"serving diverged on skewed corpus for '$q'")
+    }
+    IndexBuilder.deleteDir(spark, dir)
+  }
+
   test("WAND == exhaustive with multi-field boosts (6 random corpora)") {
     val rng = new scala.util.Random(8261620L)
     (1 to 6).foreach { trial =>
