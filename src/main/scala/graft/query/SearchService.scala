@@ -101,16 +101,22 @@ object SearchService {
             col("path"), col("lang"), col("qualityScore"), col("repoScore"))
       }
 
-      // 6. insights (A1) + template summary (X7)
+      // 6. insights (A1) + template summary (X7). TWO actions over the
+      // <=k-row page: the insights aggregation, and one page collect from
+      // which top-repos and the top path derive locally (same semantics as
+      // Insights.topDomains: count desc, repo asc, limit 3) — not one
+      // Spark job per summary fragment.
       val page = results.cache()
       val ins = Insights.searchInsights(page, "repo", "qualityScore", "lang")
         .collect()(0)
       val total = ins.getAs[Long]("total_results")
       val uniqueRepos = ins.getAs[Long]("unique_domains")
-      val topRepos = Insights.topDomains(page, "repo", 3).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toSeq
-      val topPath = page.orderBy(col("rank").asc).select("path")
-        .limit(1).collect().headOption.map(_.getString(0))
+      val pageRows = page.orderBy(col("rank").asc)
+        .select("rank", "repo", "path").collect()
+      val topRepos = pageRows.groupBy(_.getAs[String]("repo"))
+        .map { case (r, rs) => r -> rs.length.toLong }.toSeq
+        .sortBy { case (r, n) => (-n, r) }.take(3)
+      val topPath = pageRows.headOption.map(_.getAs[String]("path"))
       val summary = QueryIntel.templateSummary(corrected, total, topRepos, topPath)
 
       Response(rawQuery, corrected, intent, entities, expanded, page,
