@@ -113,7 +113,7 @@ object CorpusGen {
     * (the round-2 finding; see BASELINE.md WandDiag analysis). Real engines
     * are different in two ways reproduced here:
     *
-    *  1. tf is heavy-tailed (reps ~ u^-0.7, capped 64), so per-block maxTf
+    *  1. tf is heavy-tailed (reps ~ u^-1.2, capped 64), so per-block maxTf
     *     varies; multi-term docs get the heavy tail on BOTH terms, so the
     *     top-k floor is set by genuinely strong documents;
     *  2. docIds correlate with document strength (standard docid-reordering

@@ -70,7 +70,11 @@ case class ContentCategories(child: Expression)
 
 object ContentCategories {
 
-  private[functions] val TokenRe = java.util.regex.Pattern.compile("\\w+")
+  // UNICODE_CHARACTER_CLASS: the reference's rust \b\w+\b is Unicode-aware
+  // (rust regex default); Java's bare \w is ASCII-only and would split
+  // accented words into fragments, diverging token sets on non-English text
+  private[functions] val TokenRe = java.util.regex.Pattern.compile("\\w+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** metadata_extractor.rs:472-475. */
   val StopWords: Set[String] = Set(

@@ -193,8 +193,13 @@ object IndexBuilder {
     * re-derived from the FULL tables so a resumed build is
     * indistinguishable from a from-scratch build of the union. */
   def resume(spark: SparkSession, corpus: DataFrame, dir: String,
-      params: Params = Params()): Unit =
+      params: Params = Params()): Unit = {
+    // a crash mid-expiry leaves a _pending_expiry marker: finish the expiry
+    // (idempotent re-delete + derived refresh) before appending, or the
+    // append's own refresh would bake half-expired segments into the stats
+    Retention.recoverPendingExpiry(spark, dir, params.io)
     buildGroups(spark, corpus, dir, params, resume = true)
+  }
 
   /** Rows of `corpus` not yet committed according to `lineage` — a pure
     * join, planable at any lineage size (no driver collect, no isin):

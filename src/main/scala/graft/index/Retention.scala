@@ -28,8 +28,10 @@ object Retention {
     * `refreshDerived` commits, so a crash in between can never leave the
     * derived tables (df/avgdl/nBlocks) silently referencing expired
     * segments. Recovery re-runs the deletes (idempotent — glob no-match is
-    * a no-op) and the refresh. Called at the start of every expiry and by
-    * `IndexBuilder.refreshDerived` callers that open a possibly-dirty index. */
+    * a no-op) and the refresh. Called at the start of every expiry, by
+    * `IndexBuilder.resume` (append over a possibly-dirty index), and by the
+    * `SearchIndex` constructor (query-side open) — one fs.exists in the
+    * common no-marker case. */
   def recoverPendingExpiry(spark: SparkSession, dir: String,
       io: TableIO = ParquetTableIO): Boolean = {
     val p = markerPath(dir)

@@ -86,6 +86,11 @@ object CrawlSource {
       .withColumn("domain2", coalesce(col("domain"), TextPipeline.domainOf(col("url"))))
       .withColumn("wc", size(split(col("text"), "\\s+")))
       .withColumn("heading_count", size(col("headings")))
+      // materialized ONCE in this projection: the extractor is a heavy
+      // regex+HOF battery, and its lambda subtrees defeat codegen CSE — the
+      // select below reads it three times (null gate, src, alt), which
+      // would otherwise run the full extraction 3x per document
+      .withColumn("_pimg", when(isHtml, HtmlExtract.primaryImage(col("content"))))
     base.select(
       TextPipeline.documentId(col("text"), col("wc")).as("document_id"),
       col("url"), col("title"), col("domain2").as("domain"),
@@ -109,10 +114,9 @@ object CrawlSource {
         .as("modified_date"),
       // primary image + favicon, src resolved against the page url (T20) —
       // the reference passes resolve_url into both extractors
-      when(isHtml && HtmlExtract.primaryImage(col("content")).isNotNull, struct(
-        TextPipeline.resolveUrl(
-          HtmlExtract.primaryImage(col("content")).getField("src"), col("url")).as("src"),
-        HtmlExtract.primaryImage(col("content")).getField("alt").as("alt")))
+      when(col("_pimg").isNotNull, struct(
+        TextPipeline.resolveUrl(col("_pimg").getField("src"), col("url")).as("src"),
+        col("_pimg").getField("alt").as("alt")))
         .as("primary_image"),
       when(isHtml, TextPipeline.resolveUrl(HtmlExtract.favicon(col("content")), col("url")))
         .as("favicon"),

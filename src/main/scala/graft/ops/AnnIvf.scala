@@ -54,13 +54,21 @@ object AnnIvf {
     * codegen, no interpreted per-row lambda. Ties pick the LOWEST cell id
     * (array_position returns the first occurrence), matching the previous
     * minBy semantics bit-for-bit (same double accumulation order), so
-    * existing cell layouts and the q34 gate hash are unchanged. */
+    * existing cell layouts and the q34 gate hash are unchanged.
+    *
+    * A zero-norm centroid (or vector) makes its cosine NaN, and Spark's
+    * ordering ranks NaN ABOVE every number — array_max would park the whole
+    * corpus in the degenerate cell, where the minBy baseline (NaN largest
+    * under TotalOrdering, so never the min of -cos) picks the true nearest.
+    * `nanvl(cos, -2)` pins NaN below the cosine range so both paths agree:
+    * degenerate centroids are never selected, and an all-NaN row (zero
+    * vector) falls to cell 0 on both. */
   def assign(emb: DataFrame, vecCol: String, model: Model): DataFrame = {
     val ordered = model.centroids.sortBy(_._1)
     require(ordered.map(_._1).sameElements(ordered.indices),
       "centroid ids must be dense 0..k-1 for array_position cell derivation")
     val cosines = array(ordered.map { case (_, c) =>
-      Similarity.cosine(col(vecCol), typedLit(c)) }: _*)
+      nanvl(Similarity.cosine(col(vecCol), typedLit(c)), lit(-2.0)) }: _*)
     emb.withColumn("cell",
       (array_position(cosines, array_max(cosines)) - 1).cast("int"))
   }

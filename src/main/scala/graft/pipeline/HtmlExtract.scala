@@ -63,15 +63,23 @@ object HtmlExtract {
   def jsonLdField(html: Column, path: String): Column =
     nullIfEmpty(get_json_object(jsonLd(html), path))
 
+  /** A JSON-LD field accepted only when it is a plain STRING value — the
+    * reference consumes these fields via as_str(), so an object/array value
+    * makes that arm fail and the cascade fall through
+    * (metadata_extractor.rs:126-133). get_json_object serializes non-scalar
+    * values, so the brace/bracket sniff is the declarative as_str guard. */
+  private def jsonLdScalar(html: Column, path: String): Column = {
+    val raw = jsonLdField(html, path)
+    when(raw.isNotNull && !raw.startsWith("{") && !raw.startsWith("["), raw)
+  }
+
   /** A JSON-LD value that is a name: either `key.name` (Person/Organization
     * object) or `key` itself when it is a plain string — the reference's
     * extract_name_from_value (metadata_extractor.rs:417-427 shape). */
-  private def jsonLdName(html: Column, key: String): Column = {
-    val raw = jsonLdField(html, s"$$.$key")
+  private def jsonLdName(html: Column, key: String): Column =
     coalesce(
       jsonLdField(html, s"$$.$key.name"),
-      when(raw.isNotNull && !raw.startsWith("{") && !raw.startsWith("["), raw))
-  }
+      jsonLdScalar(html, s"$$.$key"))
 
   /** Tag-stripped, entity-stripped, whitespace-collapsed inner text. */
   def innerText(c: Column): Column =
@@ -119,7 +127,7 @@ object HtmlExtract {
     metaAny(html, "article:published_time"),
     metaAny(html, "datePublished"),
     metaAny(html, "date"),
-    jsonLdField(html, "$.datePublished"),
+    jsonLdScalar(html, "$.datePublished"),
     nullIfEmpty(regexp_extract(html,
       """(?is)<time[^>]*datetime\s*=\s*["']([^"']*)["']""", 1)))
 
@@ -130,13 +138,15 @@ object HtmlExtract {
     metaAny(html, "article:modified_time"),
     metaAny(html, "dateModified"),
     metaAny(html, "lastmod"),
-    jsonLdField(html, "$.dateModified"))
+    jsonLdScalar(html, "$.dateModified"))
 
   /** JSON-LD @type, lowercased — the FIRST arm of the reference's
     * content-type classifier (metadata_extractor.rs:217-230); keyword rules
-    * (TextPipeline.contentType) are the fallback. */
+    * (TextPipeline.contentType) are the fallback. An ARRAY-valued @type
+    * (`["NewsArticle","WebPage"]`, common in the wild) fails the
+    * reference's as_str() and must fall through, not stringify. */
   def jsonLdType(html: Column): Column =
-    lower(jsonLdField(html, "$['@type']"))
+    lower(jsonLdScalar(html, "$['@type']"))
 
   /** Primary image (metadata_extractor.rs:276-327): JSON-LD image (string
     * or {url}) -> og:image -> first <img> whose src is not an
@@ -147,10 +157,7 @@ object HtmlExtract {
   def primaryImage(html: Column): Column = {
     val jsonImg = coalesce(
       jsonLdField(html, "$.image.url"),
-      when(jsonLdField(html, "$.image").isNotNull &&
-        !jsonLdField(html, "$.image").startsWith("{") &&
-        !jsonLdField(html, "$.image").startsWith("["),
-        jsonLdField(html, "$.image")))
+      jsonLdScalar(html, "$.image"))
     val og = metaProperty(html, "og:image")
     val srcPat = """(?is)src\s*=\s*["']([^"']*)["']"""
     val imgTags = regexp_extract_all(html, lit("(?is)<img[^>]*>"), lit(0))

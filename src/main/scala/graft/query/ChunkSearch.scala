@@ -20,10 +20,24 @@ import org.apache.spark.sql.functions._
 object ChunkSearch {
 
   /** Synthetic long docId for a chunk row: parent numeric id packed with the
-    * chunk index. Dense parent ids stay dense (append-stable docGroups). */
+    * chunk index. Dense parent ids stay dense (append-stable docGroups).
+    *
+    * HARD guards (raise_error, job fails loudly): a chunk_index at or above
+    * the pack width would alias into the NEXT parent's id space — a silent
+    * wrong-parent merge no downstream check can catch (distinct docIds, so
+    * the builder's collision check never fires); and a parent id above
+    * Long.MaxValue / maxChunksPerDoc would overflow the multiply. Long
+    * documents need a wider `maxChunksPerDoc`, hash-derived parent ids a
+    * narrower one — the caller picks the split. */
   def chunkDocId(parentNum: org.apache.spark.sql.Column,
       chunkIndex: org.apache.spark.sql.Column, maxChunksPerDoc: Int = 64): org.apache.spark.sql.Column =
-    parentNum * maxChunksPerDoc + chunkIndex
+    when(chunkIndex >= maxChunksPerDoc || chunkIndex < 0,
+        raise_error(concat(lit(s"chunk_index out of [0, $maxChunksPerDoc) for parent "),
+          parentNum.cast("string"), lit(": "), chunkIndex.cast("string"))))
+      .when(parentNum >= Long.MaxValue / maxChunksPerDoc || parentNum < 0,
+        raise_error(concat(lit(s"parent id overflows Long at maxChunksPerDoc=$maxChunksPerDoc: "),
+          parentNum.cast("string"))))
+      .otherwise(parentNum * maxChunksPerDoc + chunkIndex)
 
   /** merge_chunk_and_document_data (opensearch_service.py:145-171): one
     * output row per chunk hit (a document hit twice appears twice, same

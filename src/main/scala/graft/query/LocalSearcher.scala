@@ -74,18 +74,29 @@ object LocalSearcher {
     def residentDictTerms: Int = dictCache.synchronized(dictCache.size())
     def dfs(fields: Seq[String], terms: Seq[String]): Map[(String, String), Long] = {
       val keys = for (f <- fields; t <- terms) yield (f, t)
-      val misses = dictCache.synchronized {
-        keys.filterNot(dictCache.containsKey)
-      }
-      if (misses.nonEmpty) {
-        val probed = index.lookup(fields, misses.map(_._2).distinct)
-        dictCache.synchronized {
-          misses.foreach(k => dictCache.put(k, probed.get(k)))
+      // snapshot hit VALUES in the same critical section that detects the
+      // misses: under concurrent serving at the cache cap, an entry seen by
+      // containsKey can be evicted before a later read, and re-reading would
+      // silently drop that term's df from the query (nondeterministic
+      // scores). Hits come from the snapshot, misses from this probe.
+      val (hits, misses) = dictCache.synchronized {
+        val h = Seq.newBuilder[((String, String), Option[Long])]
+        val m = Seq.newBuilder[(String, String)]
+        keys.foreach { k =>
+          if (dictCache.containsKey(k)) h += k -> dictCache.get(k)
+          else m += k
         }
+        (h.result(), m.result())
       }
-      dictCache.synchronized {
-        keys.flatMap(k => Option(dictCache.get(k)).flatten.map(k -> _)).toMap
-      }
+      val probed =
+        if (misses.isEmpty) Map.empty[(String, String), Long]
+        else {
+          val p = index.lookup(fields, misses.map(_._2).distinct)
+          dictCache.synchronized { misses.foreach(k => dictCache.put(k, p.get(k))) }
+          p
+        }
+      (hits.collect { case (k, Some(v)) => k -> v } ++
+        misses.flatMap(k => probed.get(k).map(k -> _))).toMap
     }
     /** (field, term) -> blocks ordered by (docGroup, firstDocId) — segments
       * of an incrementally-grown group restart blockIdx, so firstDocId is

@@ -11,6 +11,11 @@ import org.apache.spark.sql.expressions.Window
   * task closures (the reference's "broadcast stats" shape, SURVEY §2.11). */
 class SearchIndex(val spark: SparkSession, val dir: String) {
   private val layout = IndexBuilder.Layout(dir)
+  // crash-recovery sweep: a _pending_expiry marker means a Retention expiry
+  // died between its partition deletes and the derived-table refresh — the
+  // derived df/avgdl would silently reference expired segments. One
+  // fs.exists per index open (no-op in the common case).
+  graft.index.Retention.recoverPendingExpiry(spark, dir)
   lazy val docs: DataFrame = spark.read.parquet(layout.docs)
   lazy val postings: DataFrame = spark.read.parquet(layout.postings)
   lazy val dictionary: DataFrame = spark.read.parquet(layout.dictionary)

@@ -96,6 +96,10 @@ object StreamingIndexer {
       }
       .start()
     q.awaitTermination()
+    // fresh files that arrived DURING the last backlog batch have no later
+    // backlog batch to drain ahead of — close the exit window (the
+    // reference's loop never exits, so it has no such window)
+    drainFresh()
   }
 
   /** Event-time windowed aggregation over an event stream (watermarked) —

@@ -44,6 +44,24 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 too low: $recall")
   }
 
+  test("degenerate (zero-norm) centroid is never selected; native == UDF baseline") {
+    // a zero centroid makes every cosine against it NaN — Spark's NaN-is-
+    // greatest ordering would otherwise park the whole corpus in that cell
+    val degenerate = AnnIvf.Model(
+      model.centroids :+ (model.centroids.length -> Array.fill(
+        model.centroids.head._2.length)(0.0f)))
+    val native = AnnIvf.assign(emb, "embedding", degenerate)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!native.values.exists(_ == model.centroids.length),
+      "some vector was assigned to the zero-norm centroid")
+    val udfBase = AnnIvf.assignUdfBaseline(emb, "embedding", degenerate)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == udfBase,
+      "native and UDF baseline diverge in the presence of a degenerate centroid")
+  }
+
   test("native codegen'd assign == interpreted-UDF baseline on every row") {
     val native = AnnIvf.assign(emb, "embedding", model)
       .select(col("vec_id"), col("cell")).collect()
