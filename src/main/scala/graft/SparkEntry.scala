@@ -81,6 +81,35 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** FOUR-field chunk index for the reference's exact primary query shape
+    * (opensearch_service.py:198-227: text_chunk^1.5 + headings^3.0 +
+    * keywords^2.0 + title^2.5, match_phrase text_chunk^2.0). Parent
+    * metadata fields are deterministic word-windows of the parent text
+    * (title = words 1-6, headings = 7-12, keywords = 13-15) so the DuckDB
+    * oracle restates them exactly; every chunk row carries its parent's
+    * copies — the reference's chunk mapping duplicates parent fields per
+    * chunk the same way (indexer/indexer.py:330-340). */
+  def chunksIndexRef(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#chunksref", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-chunksref"
+      val ws = split(trim(col("text")), "\\s+")
+      val parents = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"),
+          array_join(slice(ws, 1, 6), " ").as("title"),
+          array_join(slice(ws, 7, 6), " ").as("headings"),
+          array_join(slice(ws, 13, 3), " ").as("keywords"))
+      val corpus = chunkMeta(spark, sfDir)
+        .join(parents, "doc_id")
+        .select(col("docId"), col("source").as("repo"),
+          concat_ws("/", col("source"), col("doc_id"), col("chunk_index")).as("path"),
+          col("lang"), col("text_chunk").as("content"),
+          col("title"), col("keywords"), col("headings"))
+      IndexBuilder.build(spark, corpus, dir,
+        IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+          fields = Seq("content", "title", "keywords", "headings")))
+      new SearchIndex(spark, dir)
+    })
+
   private def bm25(spark: SparkSession, sfDir: String, query: String, k: Int,
       diversity: Boolean, wand: Boolean): DataFrame = {
     val idx = docsIndex(spark, sfDir)
@@ -226,6 +255,26 @@ object SparkEntry {
           col("chunk_idx"), round(col("score"), 6).as("score"),
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
+    }),
+    "q51_reference_query" -> ((s, d) => {
+      // the reference's primary chunk query BOOST-FOR-BOOST
+      // (opensearch_service.py:198-227): all four fields at their exact
+      // boosts through a real 4-field chunk index + WAND, with and without
+      // the match_phrase 2.0 arm
+      val idx = chunksIndexRef(s, d)
+      val flds = Seq("content" -> 1.5, "headings" -> 3.0,
+        "keywords" -> 2.0, "title" -> 2.5)
+      Seq(("spark merge join", 2.0), ("window scan fast", 0.0)).zipWithIndex
+        .map { case ((q, pb), i) =>
+          QueryEngine.search(idx, q, SearchOpts(k = 10, overfetch = 3,
+              diversity = false, wand = true, fields = flds,
+              phraseBoost = pb, phraseField = "content"))
+            .select(col("rank").cast("long").as("rnk"),
+              floor(col("docId") / 64).cast("long").as("doc_id"),
+              pmod(col("docId"), lit(64L)).cast("long").as("chunk_idx"),
+              round(col("score"), 6).as("score"), col("repo").as("domain"))
+            .withColumn("qid", lit(i.toLong))
+        }.reduce(_ unionByName _)
     }),
 
     "q16_phrase_count" -> ((s, d) => {
@@ -653,6 +702,111 @@ SELECT r.rnk, c.doc_id, c.chunk_idx, round(r.score, 6) AS score,
 FROM ranked r JOIN chx c USING (cid) JOIN documents d USING (doc_id)"""
   }
 
+  /** Reference primary-query oracle (q51): the q50 chunking restated, then
+    * FOUR per-field BM25 stat sets (content = the chunk text; title/
+    * headings/keywords = deterministic word-windows of the parent text,
+    * duplicated per chunk like the reference's chunk mapping) summed in
+    * ascending (field, term) order at the reference's exact boosts, plus
+    * the optional n-term match_phrase arm on content. */
+  private def refQuerySql(termsInOrder: Seq[String], k: Int,
+      phraseBoost: Double, qid: Int, w: Int = 16, minChars: Int = 50,
+      pack: Int = 64): String = {
+    val sorted = termsInOrder.sorted.distinct
+    val vals = sorted.map(t => s"('$t')").mkString(",")
+    val m = k * 3
+    val composite = "score DESC, quality DESC, reposcore DESC, cid"
+    val leadCols = (1 until termsInOrder.length)
+      .map(i => s"lead(term, $i) OVER (PARTITION BY cid ORDER BY pos) AS t$i")
+      .mkString(", ")
+    val adj = (s"term = '${termsInOrder.head}'" +:
+      termsInOrder.tail.zipWithIndex.map { case (t, i) => s"t${i + 1} = '$t'" })
+      .mkString(" AND ")
+    val phraseCtes = if (phraseBoost == 0.0) "" else s""",
+pn AS (SELECT cid, term, $leadCols FROM ctoks),
+pocc AS (SELECT cid, count(*) AS occ FROM pn WHERE $adj GROUP BY cid),
+pidf AS (SELECT min(ln((s.n - f.df + 0.5) / (f.df + 0.5))) AS v
+         FROM dft f JOIN st s ON s.field = f.field WHERE f.field = 'content'),
+ph AS (SELECT o.cid,
+         $phraseBoost * pidf.v *
+         (o.occ * (1.2 + 1.0) / (o.occ + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS p
+       FROM pocc o
+       JOIN fdl l ON l.cid = o.cid AND l.field = 'content'
+       JOIN st s ON s.field = 'content', pidf)"""
+    val scSql =
+      if (phraseBoost == 0.0) "SELECT cid, bscore AS score FROM base"
+      else "SELECT b.cid, b.bscore + coalesce(ph.p, 0) AS score FROM base b LEFT JOIN ph ON b.cid = ph.cid"
+    s"""WITH wt AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+win AS (
+  SELECT doc_id, pos // $w AS widx, string_agg(w, ' ' ORDER BY pos) AS chunk
+  FROM wt GROUP BY doc_id, pos // $w),
+chk AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx) - 1 AS BIGINT) AS chunk_idx,
+         chunk
+  FROM win WHERE length(chunk) >= $minChars),
+chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk FROM chk),
+pmeta AS (
+  SELECT doc_id, array_to_string(ws[1:6], ' ') AS title,
+         array_to_string(ws[7:12], ' ') AS headings,
+         array_to_string(ws[13:15], ' ') AS kw
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+ctoks AS (
+  SELECT cid, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS term
+  FROM (SELECT cid, regexp_extract_all(lower(chunk), '[a-z0-9]+') AS tk FROM chx)),
+ftoks AS (
+  SELECT cid, 'content' AS field, term FROM ctoks
+  UNION ALL
+  SELECT c.cid, 'title' AS field,
+         unnest(regexp_extract_all(lower(p.title), '[a-z0-9]+')) AS term
+  FROM chx c JOIN pmeta p USING (doc_id)
+  UNION ALL
+  SELECT c.cid, 'headings' AS field,
+         unnest(regexp_extract_all(lower(p.headings), '[a-z0-9]+')) AS term
+  FROM chx c JOIN pmeta p USING (doc_id)
+  UNION ALL
+  SELECT c.cid, 'keywords' AS field,
+         unnest(regexp_extract_all(lower(p.kw), '[a-z0-9]+')) AS term
+  FROM chx c JOIN pmeta p USING (doc_id)),
+fdl AS (SELECT cid, field, count(*) AS dl FROM ftoks GROUP BY cid, field),
+st AS (SELECT field, (SELECT count(*) FROM chx) AS n,
+              CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM chx) AS avgdl
+       FROM ftoks GROUP BY field),
+q(term) AS (VALUES $vals),
+dft AS (SELECT field, term, count(DISTINCT cid) AS df FROM ftoks
+        WHERE term IN (SELECT term FROM q) GROUP BY field, term),
+tft AS (SELECT cid, field, term, count(*) AS tf FROM ftoks
+        WHERE term IN (SELECT term FROM q) GROUP BY cid, field, term),
+contrib AS (
+  SELECT t.cid, t.field, t.term,
+         (CASE t.field WHEN 'content' THEN 1.5 WHEN 'title' THEN 2.5
+               WHEN 'keywords' THEN 2.0 ELSE 3.0 END) *
+         ln((s.n - f.df + 0.5) / (f.df + 0.5)) *
+         (t.tf * (1.2 + 1.0) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS c
+  FROM tft t
+  JOIN dft f ON t.field = f.field AND t.term = f.term
+  JOIN fdl l ON t.cid = l.cid AND t.field = l.field
+  JOIN st s ON s.field = t.field),
+base AS (SELECT cid, sum(c ORDER BY field, term) AS bscore FROM contrib GROUP BY cid)$phraseCtes,
+sc AS ($scSql),
+topm AS (SELECT cid, score FROM sc ORDER BY score DESC, cid LIMIT $m),
+meta AS (
+  SELECT c.cid, d.source AS repo,
+    CASE WHEN coalesce(l.dl, 0) < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3
+         WHEN l.dl < 300 THEN 0.7 WHEN l.dl < 1000 THEN 1.5
+         WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
+  FROM chx c JOIN documents d USING (doc_id)
+  LEFT JOIN (SELECT cid, dl FROM fdl WHERE field = 'content') l USING (cid)),
+joined AS (SELECT t.cid, t.score, m.repo, m.quality, m.reposcore
+           FROM topm t JOIN meta m USING (cid))
+SELECT CAST(row_number() OVER (ORDER BY $composite) AS BIGINT) AS rnk,
+       cid // $pack AS doc_id, cid % $pack AS chunk_idx,
+       round(score, 6) AS score, repo AS domain, CAST($qid AS BIGINT) AS qid
+FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
+  }
+
   private val metaSqlWidth =
     "64 + (((CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT) * 16) | (CAST(('0x' || substring(md5(text), 3, 2)) AS BIGINT) // 16)) % 1856)"
   private val metaSqlHeight =
@@ -728,6 +882,10 @@ FROM ranked r JOIN chx c USING (cid) JOIN documents d USING (doc_id)"""
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q50_chunk_search" -> chunkSearchSql(Seq("spark", "merge", "join"),
       k = 10, boost = 1.5, phraseBoost = 2.0),
+    "q51_reference_query" -> Seq(
+        refQuerySql(Seq("spark", "merge", "join"), 10, phraseBoost = 2.0, qid = 0),
+        refQuerySql(Seq("window", "scan", "fast"), 10, phraseBoost = 0.0, qid = 1))
+      .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q18_phrase_engine" ->
       s"""WITH $ToksPos,
         nxt AS (SELECT doc_id, term,
