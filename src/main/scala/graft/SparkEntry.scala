@@ -256,6 +256,20 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q52_fuzzy" -> ((s, d) => {
+      // R4b end-to-end: AUTO fuzziness (typo'd queries) — expansion against
+      // the tlen-partition-pruned dictionary, then the ordinary BM25 page
+      // over the expanded term set. qid 0 exercises maxd=1 typos, qid 1 a
+      // maxd=2 arm (7-char term).
+      val idx = docsIndex(s, d)
+      Seq("spak mege", "windoww tble").zipWithIndex.map { case (q, i) =>
+        QueryEngine.searchFuzzy(idx, q, SearchOpts(k = 10, overfetch = 3,
+            diversity = false, wand = true))
+          .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+            round(col("score"), 6).as("score"), col("repo"))
+          .withColumn("qid", lit(i.toLong))
+      }.reduce(_ unionByName _)
+    }),
     "q51_reference_query" -> ((s, d) => {
       // the reference's primary chunk query BOOST-FOR-BOOST
       // (opensearch_service.py:198-227): all four fields at their exact
@@ -491,22 +505,41 @@ object SparkEntry {
   private def uhashSql(h: String, i: Int): String =
     s"(((${31 + 2 * i} * $h) + 1013904223 + ${i * 97}) % 2147483647)"
 
-  /** Full BM25 oracle for one query (mirrors QueryEngine.search exactly). */
+  /** Full BM25 oracle for one query (mirrors QueryEngine.search exactly).
+    * With `fuzzy`, the query-term set is first expanded AUTO-style against
+    * the corpus vocabulary (maxd 0/1/2 by length, tlen band + levenshtein —
+    * QueryEngine.fuzzyExpand), sub-3-char expansions dropped on re-analysis
+    * like the engine's query-side analyzer; scoring is unchanged
+    * (searchFuzzy is query-shaping only). */
   def bm25Sql(terms: Seq[String], k: Int, diversity: Boolean,
-      qid: Option[Int] = None): String = {
+      qid: Option[Int] = None, fuzzy: Boolean = false): String = {
     val sorted = terms.sorted.distinct
     val vals = sorted.map(t => s"('$t')").mkString(",")
     val m = k * 3
     val cap = math.max(1, k / 3)
     val qidSel = qid.map(i => s", CAST($i AS BIGINT) AS qid").getOrElse("")
     val composite = "score DESC, quality DESC, reposcore DESC, doc_id"
+    def maxD(t: String): Int =
+      if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+    val qCte =
+      if (!fuzzy) s"q(term) AS (VALUES $vals)"
+      else s"""qd(term, maxd) AS (VALUES ${
+        sorted.map(t => s"('$t', ${maxD(t)})").mkString(",")}),
+vocab AS (SELECT DISTINCT term FROM toks),
+fexp AS (
+  SELECT v.term FROM vocab v JOIN qd
+    ON abs(length(v.term) - length(qd.term)) <= qd.maxd
+   AND levenshtein(v.term, qd.term) <= qd.maxd
+  UNION
+  SELECT term FROM qd),
+q AS (SELECT DISTINCT term FROM fexp WHERE length(term) >= 3)"""
     val core = s"""WITH $Toks, $Dl,
 -- avgdl over ALL docs (engine stats average dl=0 docs too; avg(dl) from the
 -- toks-derived dl CTE would silently skip zero-token docs)
 st AS (SELECT (SELECT count(*) FROM documents) AS n,
               (SELECT CAST(count(*) AS DOUBLE) FROM toks)
                 / (SELECT count(*) FROM documents) AS avgdl),
-q(term) AS (VALUES $vals),
+$qCte,
 dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN (SELECT term FROM q) GROUP BY term),
 tft AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
 contrib AS (
@@ -882,6 +915,12 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q50_chunk_search" -> chunkSearchSql(Seq("spark", "merge", "join"),
       k = 10, boost = 1.5, phraseBoost = 2.0),
+    "q52_fuzzy" -> Seq(
+        bm25Sql(Seq("spak", "mege"), 10, diversity = false, qid = Some(0),
+          fuzzy = true),
+        bm25Sql(Seq("windoww", "tble"), 10, diversity = false, qid = Some(1),
+          fuzzy = true))
+      .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q51_reference_query" -> Seq(
         refQuerySql(Seq("spark", "merge", "join"), 10, phraseBoost = 2.0, qid = 0),
         refQuerySql(Seq("window", "scan", "fast"), 10, phraseBoost = 0.0, qid = 1))
