@@ -256,6 +256,44 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q54_web_noise" -> ((s, d) => {
+      // F7 contains_web_noise over deterministically noise-injected text
+      // (doc_id % 8 picks the arm; 6 and 7 stay clean) — the synthetic
+      // corpus is clean prose, so injection is what makes each arm
+      // observable: CSS pattern, entity remnant, bracket spam,
+      // interface-noise density, CSS char density, uppercase windows
+      val m = pmod(col("doc_id"), lit(8L))
+      val noisy = when(m === 0, concat(col("text"), lit(" display:inline")))
+        .when(m === 1, concat(col("text"), lit(" &nbsp;")))
+        .when(m === 2, concat(col("text"), lit(" [1.0][2.1][3.4][4][5][6]")))
+        .when(m === 3, concat(col("text"), lit(" talk contribs" * 100)))
+        .when(m === 4, concat(col("text"), lit(" " + (":;" * 15))))
+        .when(m === 5, concat(col("text"), lit(" " + ("X" * 100))))
+        .otherwise(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.NoiseFilters.webNoise(noisy).cast("long").as("noise"))
+    }),
+    "q53_fallback" -> ((s, d) => {
+      // R6 end-to-end: the relaxed path^2.0 + content^1.0 arm UNION the
+      // epsilon-scored path-substring wildcard arm, max score per doc
+      // (opensearch_service.py:241-261 shape). qid 0's needle substring-
+      // matches paths; qid 1's (with a space) matches none — the wildcard-
+      // empty case.
+      // compared as the consumed PAGE (top-k by score desc, docId asc):
+      // the WAND candidate SET is a superset of the exact top-m, so raw
+      // sets differ run-to-run while the page is rank-identical
+      val idx = docsIndexMF(s, d)
+      Seq("src3", "merge src5").zipWithIndex.map { case (q, i) =>
+        import org.apache.spark.sql.expressions.Window
+        QueryEngine.fallback(idx, q, SearchOpts(k = 10, overfetch = 3))
+          .orderBy(col("score").desc, col("docId").asc).limit(10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score").desc, col("docId").asc)).cast("long"))
+          .select(col("rnk"), col("docId").as("doc_id"),
+            round(col("score"), 6).as("score"))
+          .withColumn("qid", lit(i.toLong))
+      }.reduce(_ unionByName _)
+    }),
     "q52_fuzzy" -> ((s, d) => {
       // R4b end-to-end: AUTO fuzziness (typo'd queries) — expansion against
       // the tlen-partition-pruned dictionary, then the ordinary BM25 page
@@ -735,6 +773,108 @@ SELECT r.rnk, c.doc_id, c.chunk_idx, round(r.score, 6) AS score,
 FROM ranked r JOIN chx c USING (cid) JOIN documents d USING (doc_id)"""
   }
 
+  /** F7 web-noise oracle (q54): every arm of contains_web_noise restated in
+    * SQL, pattern lists generated from NoiseFilters (one source of truth).
+    * Occurrence counts are replace-deltas; the uppercase-window count is
+    * per-run (a run of L non-lowercase chars has L-2 length-3 windows). */
+  private def webNoiseSql: String = {
+    import graft.pipeline.NoiseFilters._
+    def containsAny(c: String, pats: Seq[String]): String =
+      pats.map(p => s"contains($c, '$p')").mkString("(", " OR ", ")")
+    val noiseCount = InterfaceNoise
+      .map(p => s"(length(tl) - length(replace(tl, '$p', ''))) // ${p.length}")
+      .mkString(" + ")
+    val navWords = LinkIndicators
+      .map(p => s"((length(tl) - length(replace(tl, '$p', ''))) // ${p.length}) * ${p.split(" ").length}")
+      .mkString(" + ")
+    s"""WITH noisy AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN text || ' display:inline'
+      WHEN 1 THEN text || ' &nbsp;'
+      WHEN 2 THEN text || ' [1.0][2.1][3.4][4][5][6]'
+      WHEN 3 THEN text || repeat(' talk contribs', 100)
+      WHEN 4 THEN text || ' ' || repeat(':;', 15)
+      WHEN 5 THEN text || ' ' || repeat('X', 100)
+      ELSE text END AS t
+  FROM documents),
+f AS (
+  SELECT doc_id, t, lower(t) AS tl,
+    length(regexp_split_to_array(trim(t), '\\s+')) AS wc,
+    length(t) - length(replace(replace(t, ':', ''), ';', '')) AS css_chars,
+    length(t) - length(replace(replace(t, '[', ''), ']', '')) AS brackets,
+    coalesce(list_sum(list_transform(regexp_extract_all(t, '[^\\p{Ll}]+'),
+      r -> greatest(length(r) - 2, 0))), 0) AS up_windows
+  FROM noisy),
+g AS (
+  SELECT doc_id, t, tl, wc, css_chars, brackets, up_windows,
+    $noiseCount AS noise_count,
+    $navWords AS nav_words
+  FROM f)
+SELECT doc_id, CAST(
+  ${containsAny("t", Entities)} OR
+  ${containsAny("t", CssPatterns)} OR
+  ${containsAny("t", MediaWiki)} OR
+  ${containsAny("t", JsonRemnants)} OR
+  (wc > 0 AND CAST(noise_count AS DOUBLE) / wc > 0.2) OR
+  (css_chars > 20 AND length(t) > 500 AND
+    CAST(css_chars AS DOUBLE) / length(t) > 0.01) OR
+  (brackets > 10) OR
+  (up_windows > wc // 4) OR
+  (${containsAny("tl", LinkIndicators)} AND wc > 0 AND
+    CAST(nav_words AS DOUBLE) / wc > 0.3)
+  AS BIGINT) AS noise
+FROM g"""
+  }
+
+  /** Fallback oracle (q53): relaxed 2-field BM25 (path^2.0 + content^1.0)
+    * UNION the wildcard arm (paths containing the lowercased query string,
+    * docId-ordered, page-bounded, epsilon score 0.1), max score per doc —
+    * mirrors QueryEngine.fallback exactly. */
+  private def fallbackSql(termsInOrder: Seq[String], needle: String, qid: Int,
+      k: Int = 10, overfetch: Int = 3): String = {
+    val sorted = termsInOrder.sorted.distinct
+    val vals = sorted.map(t => s"('$t')").mkString(",")
+    val lim = k * overfetch
+    s"""WITH docs2 AS (
+  SELECT doc_id,
+         lower(source || '/' || lang || '/' || CAST(doc_id AS VARCHAR)) AS path,
+         text
+  FROM documents),
+ftoks AS (
+  SELECT doc_id, 'content' AS field,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs2
+  UNION ALL
+  SELECT doc_id, 'path' AS field,
+         unnest(regexp_extract_all(path, '[a-z0-9]+')) AS term FROM docs2),
+fdl AS (SELECT doc_id, field, count(*) AS dl FROM ftoks GROUP BY doc_id, field),
+st AS (SELECT field, (SELECT count(*) FROM documents) AS n,
+              CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+       FROM ftoks GROUP BY field),
+q(term) AS (VALUES $vals),
+dft AS (SELECT field, term, count(DISTINCT doc_id) AS df FROM ftoks
+        WHERE term IN (SELECT term FROM q) GROUP BY field, term),
+tft AS (SELECT doc_id, field, term, count(*) AS tf FROM ftoks
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, field, term),
+contrib AS (
+  SELECT t.doc_id, t.field, t.term,
+         (CASE WHEN t.field = 'path' THEN 2.0 ELSE 1.0 END) *
+         ln((s.n - f.df + 0.5) / (f.df + 0.5)) *
+         (t.tf * (1.2 + 1.0) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS c
+  FROM tft t
+  JOIN dft f ON t.field = f.field AND t.term = f.term
+  JOIN fdl l ON t.doc_id = l.doc_id AND t.field = l.field
+  JOIN st s ON s.field = t.field),
+sc AS (SELECT doc_id, sum(c ORDER BY field, term) AS score FROM contrib GROUP BY doc_id),
+wild AS (SELECT doc_id, 0.1 AS score FROM docs2
+         WHERE path LIKE '%$needle%' ORDER BY doc_id LIMIT $lim),
+uni AS (SELECT * FROM sc UNION ALL SELECT * FROM wild),
+best AS (SELECT doc_id, max(score) AS score FROM uni GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id, round(score, 6) AS score, CAST($qid AS BIGINT) AS qid
+FROM (SELECT * FROM best ORDER BY score DESC, doc_id LIMIT $k)"""
+  }
+
   /** Reference primary-query oracle (q51): the q50 chunking restated, then
     * FOUR per-field BM25 stat sets (content = the chunk text; title/
     * headings/keywords = deterministic word-windows of the parent text,
@@ -915,6 +1055,11 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q50_chunk_search" -> chunkSearchSql(Seq("spark", "merge", "join"),
       k = 10, boost = 1.5, phraseBoost = 2.0),
+    "q54_web_noise" -> webNoiseSql,
+    "q53_fallback" -> Seq(
+        fallbackSql(Seq("src3"), "src3", qid = 0),
+        fallbackSql(Seq("merge", "src5"), "merge src5", qid = 1))
+      .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q52_fuzzy" -> Seq(
         bm25Sql(Seq("spak", "mege"), 10, diversity = false, qid = Some(0),
           fuzzy = true),

@@ -557,4 +557,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(tbl.count() == 2)
     assert(tbl.filter($"title" === "UPDATED").count() == 2)
   }
+
+  test("F7 web-noise rejection: every arm fires and clean prose passes") {
+    import graft.pipeline.NoiseFilters
+    def noise(s: String): Boolean =
+      Seq(s).toDF("t").select(NoiseFilters.webNoise($"t")).collect()(0).getBoolean(0)
+    assert(!noise("plain readable prose about spark joins and sorted merges"))
+    assert(noise("page body &nbsp; leaked entity"))                 // entities
+    assert(noise(".mw-parser-output .hlist dd{display:inline}"))    // CSS
+    assert(noise("Retrieved from wiki page history"))               // MediaWiki
+    assert(noise("""{"type":"link","href":"/x"} remnant"""))        // JSON
+    assert(noise("diffhist talk contribs diffhist rollback"))       // density > 20%
+    assert(noise("w " * 300 + ":;" * 15))                           // CSS char density
+    assert(noise("refs [1] [2] [3] [4] [5] [6] end"))               // bracket spam
+    assert(noise("some words " + "X" * 30))                         // uppercase windows
+    assert(noise("click here read more click here read more now"))  // nav density
+  }
+
+  test("F8 line predicates: nav/quality arms + the lowercase-haystack quirk") {
+    import graft.pipeline.NoiseFilters
+    def nav(s: String): Boolean =
+      Seq(s).toDF("t").select(NoiseFilters.isNavigationLine($"t")).collect()(0).getBoolean(0)
+    def lowq(s: String): Boolean =
+      Seq(s).toDF("t").select(NoiseFilters.isLowQualityLine($"t")).collect()(0).getBoolean(0)
+    assert(nav("Main Menu"))
+    assert(nav("skip to content"))
+    assert(!nav("ordinary sentence about sorted runs"))
+    assert(lowq("margin:0 auto; padding:0"))                // CSS
+    assert(lowq("[1.0](2.1)[3]...5"))                       // id-char majority
+    assert(lowq("ABCDEFGHIJK is an acronym"))               // >8 uppercase, short
+    assert(lowq("please wait loading..."))                  // quality issues
+    assert(lowq("!!!???!!!***###"))                         // punct ratio > 0.6
+    assert(lowq("loooooooooooooong run"))                   // >10 repeat chars
+    assert(!lowq("a normal content sentence with words"))
+    // reference quirk kept literally: mixed-case interface entries are
+    // checked against the LOWERCASED line, so they can never fire
+    assert(!lowq("vtePart of a navigation footer"))
+    // ...but F7 checks the RAW text, where the same marker does fire
+    def noise(s: String): Boolean =
+      Seq(s).toDF("t").select(NoiseFilters.webNoise($"t")).collect()(0).getBoolean(0)
+    assert(noise("vtePart of a navigation footer"))
+  }
 }
