@@ -135,7 +135,10 @@ object CrawlSource {
     * filters + chunk ids, hybrid_processor.py:70-83). */
   def toChunks(documents: DataFrame): DataFrame =
     TextPipeline.sentenceChunks(documents, "document_id", "text")
-      .filter(TextPipeline.chunkLongEnough(col("text_chunk")))
+      .filter(TextPipeline.chunkLongEnough(col("text_chunk")) &&
+        // the rust chunker's admission check (optimized.rs:182): noise
+        // chunks (CSS/interface/entity remnants) never reach the index
+        !graft.pipeline.NoiseFilters.webNoise(col("text_chunk")))
       .select(col("chunk_id"), col("document_id"), col("text_chunk"),
         col("chunk_index"), col("word_count"))
 

@@ -574,6 +574,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(noise("click here read more click here read more now"))  // nav density
   }
 
+  test("toChunks drops web-noise chunks (optimized.rs:182 admission)") {
+    val docs = Seq(
+      ("clean", "A clean first sentence about spark merges that is long " +
+        "enough to keep and index without any interface residue at all."),
+      ("noisy", ".mw-parser-output .hlist dd{display:inline} navbox " +
+        "padding:0 stylesheet leak that should never reach the index."))
+      .toDF("document_id", "text")
+    val chunks = CrawlSource.toChunks(docs).collect()
+    assert(chunks.exists(_.getAs[String]("document_id") == "clean"))
+    assert(!chunks.exists(_.getAs[String]("document_id") == "noisy"),
+      "CSS noise chunk survived the admission filter")
+  }
+
   test("F8 line predicates: nav/quality arms + the lowercase-haystack quirk") {
     import graft.pipeline.NoiseFilters
     def nav(s: String): Boolean =
