@@ -282,8 +282,11 @@ object SparkEntry {
       // compared as the consumed PAGE (top-k by score desc, docId asc):
       // the WAND candidate SET is a superset of the exact top-m, so raw
       // sets differ run-to-run while the page is rank-identical
+      // qid 2's needle is a path SUBSTRING that is not a token ("rc3"
+      // inside "src3/..."), so its page is wildcard-arm-only — the epsilon
+      // rows are observable and the arm falsifiable
       val idx = docsIndexMF(s, d)
-      Seq("src3", "merge src5").zipWithIndex.map { case (q, i) =>
+      Seq("src3", "merge src5", "rc3").zipWithIndex.map { case (q, i) =>
         import org.apache.spark.sql.expressions.Window
         QueryEngine.fallback(idx, q, SearchOpts(k = 10, overfetch = 3))
           .orderBy(col("score").desc, col("docId").asc).limit(10)
@@ -322,7 +325,9 @@ object SparkEntry {
               diversity = false, wand = true, fields = flds,
               phraseBoost = pb, phraseField = "content"))
             .select(col("rank").cast("long").as("rnk"),
-              floor(col("docId") / 64).cast("long").as("doc_id"),
+              // integral div: double floor() loses exactness above 2^53,
+              // and chunkDocId explicitly permits parents that large
+              expr("docId div 64").cast("long").as("doc_id"),
               pmod(col("docId"), lit(64L)).cast("long").as("chunk_idx"),
               round(col("score"), 6).as("score"), col("repo").as("domain"))
             .withColumn("qid", lit(i.toLong))
@@ -535,6 +540,31 @@ object SparkEntry {
 
   private val Dl = "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
 
+  /** The reference length-step quality function — ONE restatement of
+    * IndexBuilder.defaultQuality shared by every oracle that ranks pages
+    * (a drifted copy would silently break exactly one gate). */
+  private def qualityCaseSql(dl: String): String =
+    s"CASE WHEN $dl < 30 THEN 0.05 WHEN $dl < 100 THEN 0.3 WHEN $dl < 300 THEN 0.7 " +
+      s"WHEN $dl < 1000 THEN 1.5 WHEN $dl < 3000 THEN 1.0 ELSE 1.2 END"
+
+  /** Shared word-window chunking CTE prefix (q50/q51 oracles) — ONE
+    * restatement of TextPipeline.wordWindowChunks (pos//w windows,
+    * minChars drop, re-packed indexes) + ChunkSearch.chunkDocId. */
+  private def chunkCtesSql(w: Int, minChars: Int, pack: Int): String =
+    s"""wt AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+win AS (
+  SELECT doc_id, pos // $w AS widx, string_agg(w, ' ' ORDER BY pos) AS chunk,
+         count(*) AS wcnt
+  FROM wt GROUP BY doc_id, pos // $w),
+chk AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx) - 1 AS BIGINT) AS chunk_idx,
+         chunk, wcnt
+  FROM win WHERE length(chunk) >= $minChars),
+chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk, wcnt FROM chk)"""
+
   /** hp(term) = h60(md5) mod P — mirrors graft.ops.Hashing. */
   private def hpSql(c: String): String =
     s"(CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT) % 2147483647)"
@@ -589,8 +619,7 @@ sc AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id
 topm AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $m),
 meta AS (
   SELECT d.doc_id, d.source AS repo,
-    CASE WHEN l.dl < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3 WHEN l.dl < 300 THEN 0.7
-         WHEN l.dl < 1000 THEN 1.5 WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    ${qualityCaseSql("l.dl")} AS quality,
     CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
   FROM documents d JOIN dl l USING (doc_id)),
 joined AS (SELECT t.doc_id, t.score, m.repo, m.quality, m.reposcore FROM topm t JOIN meta m USING (doc_id))"""
@@ -679,9 +708,7 @@ scored AS ($scoredSql),
 topm AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $m),
 meta AS (
   SELECT d.doc_id, d.source AS repo,
-    CASE WHEN coalesce(l.dl, 0) < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3
-         WHEN l.dl < 300 THEN 0.7 WHEN l.dl < 1000 THEN 1.5
-         WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    ${qualityCaseSql("coalesce(l.dl, 0)")} AS quality,
     CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
   FROM documents d
   LEFT JOIN (SELECT doc_id, dl FROM fdl WHERE field = 'content') l USING (doc_id)),
@@ -712,19 +739,7 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
     val adj = (s"term = '${termsInOrder.head}'" +:
       termsInOrder.tail.zipWithIndex.map { case (t, i) => s"t${i + 1} = '$t'" })
       .mkString(" AND ")
-    s"""WITH wt AS (
-  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
-win AS (
-  SELECT doc_id, pos // $w AS widx, string_agg(w, ' ' ORDER BY pos) AS chunk,
-         count(*) AS wcnt
-  FROM wt GROUP BY doc_id, pos // $w),
-chk AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx) - 1 AS BIGINT) AS chunk_idx,
-         chunk, wcnt
-  FROM win WHERE length(chunk) >= $minChars),
-chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk, wcnt FROM chk),
+    s"""WITH ${chunkCtesSql(w, minChars, pack)},
 ctoks AS (
   SELECT cid, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS term
   FROM (SELECT cid, regexp_extract_all(lower(chunk), '[a-z0-9]+') AS tk FROM chx)),
@@ -755,8 +770,7 @@ sc AS (SELECT b.cid, b.bscore + coalesce(ph.p, 0) AS score
 topm AS (SELECT cid, score FROM sc ORDER BY score DESC, cid LIMIT $m),
 meta AS (
   SELECT c.cid, d.source AS repo,
-    CASE WHEN l.dl < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3 WHEN l.dl < 300 THEN 0.7
-         WHEN l.dl < 1000 THEN 1.5 WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    ${qualityCaseSql("l.dl")} AS quality,
     CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
   FROM chx c JOIN documents d USING (doc_id) JOIN cdl l ON c.cid = l.cid),
 joined AS (SELECT t.cid, t.score, m.repo, m.quality, m.reposcore
@@ -908,18 +922,7 @@ ph AS (SELECT o.cid,
     val scSql =
       if (phraseBoost == 0.0) "SELECT cid, bscore AS score FROM base"
       else "SELECT b.cid, b.bscore + coalesce(ph.p, 0) AS score FROM base b LEFT JOIN ph ON b.cid = ph.cid"
-    s"""WITH wt AS (
-  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
-win AS (
-  SELECT doc_id, pos // $w AS widx, string_agg(w, ' ' ORDER BY pos) AS chunk
-  FROM wt GROUP BY doc_id, pos // $w),
-chk AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx) - 1 AS BIGINT) AS chunk_idx,
-         chunk
-  FROM win WHERE length(chunk) >= $minChars),
-chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk FROM chk),
+    s"""WITH ${chunkCtesSql(w, minChars, pack)},
 pmeta AS (
   SELECT doc_id, array_to_string(ws[1:6], ' ') AS title,
          array_to_string(ws[7:12], ' ') AS headings,
@@ -966,9 +969,7 @@ sc AS ($scSql),
 topm AS (SELECT cid, score FROM sc ORDER BY score DESC, cid LIMIT $m),
 meta AS (
   SELECT c.cid, d.source AS repo,
-    CASE WHEN coalesce(l.dl, 0) < 30 THEN 0.05 WHEN l.dl < 100 THEN 0.3
-         WHEN l.dl < 300 THEN 0.7 WHEN l.dl < 1000 THEN 1.5
-         WHEN l.dl < 3000 THEN 1.0 ELSE 1.2 END AS quality,
+    ${qualityCaseSql("coalesce(l.dl, 0)")} AS quality,
     CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
   FROM chx c JOIN documents d USING (doc_id)
   LEFT JOIN (SELECT cid, dl FROM fdl WHERE field = 'content') l USING (cid)),
@@ -1058,7 +1059,8 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
     "q54_web_noise" -> webNoiseSql,
     "q53_fallback" -> Seq(
         fallbackSql(Seq("src3"), "src3", qid = 0),
-        fallbackSql(Seq("merge", "src5"), "merge src5", qid = 1))
+        fallbackSql(Seq("merge", "src5"), "merge src5", qid = 1),
+        fallbackSql(Seq("rc3"), "rc3", qid = 2))
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q52_fuzzy" -> Seq(
         bm25Sql(Seq("spak", "mege"), 10, diversity = false, qid = Some(0),

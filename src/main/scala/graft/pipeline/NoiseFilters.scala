@@ -67,10 +67,12 @@ object NoiseFilters {
     pats.map(p => c.contains(p)).reduce(_ || _)
 
   /** Non-overlapping occurrence count of literal `p` (rust
-    * `str::matches(p).count()` = replace-delta / pattern length). */
+    * `str::matches(p).count()` = replace-delta / pattern length). Literal
+    * `replace`, not a regex pass — webNoise runs 44 of these per chunk on
+    * the toChunks ingest admission path. */
   private def occurrences(c: Column, p: String): Column =
-    ((length(c) - length(regexp_replace(c,
-      lit(java.util.regex.Pattern.quote(p)), lit("")))) / p.length).cast("long")
+    ((length(c) - length(call_function("replace", c, lit(p), lit("")))) /
+      p.length).cast("long")
 
   private def charCount(c: Column, chars: String): Column =
     length(c) - length(translate(c, chars, ""))
