@@ -256,6 +256,31 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q55_quality_dist" -> ((s, d) =>
+      // A3 quality buckets over a deterministic quality column
+      graft.pipeline.Insights.qualityDistribution(
+        t(s, d, "documents").withColumn("quality", col("n_chars") / 1000.0),
+        "quality")),
+    "q56_topic_clusters" -> ((s, d) =>
+      // A4: word freq (len>=4, cnt>=2) across a doc sample, top-5 +
+      // relevance = cnt / sample size
+      graft.pipeline.Insights.topicClusters(
+        t(s, d, "documents").filter(col("doc_id") % 50 === 0), "text", k = 5)),
+    "q57_freshness" -> ((s, d) => {
+      // A5: max 4-digit year -> bucket; years injected deterministically
+      // (doc_id % 5) so all five buckets are exercised on the clean corpus
+      val ytext = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" published 2025"))
+          .when(col("doc_id") % 5 === 1, lit(" from 2021 and 2023"))
+          .when(col("doc_id") % 5 === 2, lit(" revised 2019"))
+          .when(col("doc_id") % 5 === 3, lit(" archive 1999"))
+          .otherwise(lit("")))
+      graft.pipeline.Insights.freshness(
+        t(s, d, "documents").withColumn("text", ytext), "doc_id", "text")
+    }),
+    "q58_date_range" -> ((s, d) =>
+      // A2 over the events stream's timestamps
+      graft.pipeline.Insights.dateRange(t(s, d, "events"), "ts")),
     "q54_web_noise" -> ((s, d) => {
       // F7 contains_web_noise over deterministically noise-injected text
       // (doc_id % 8 picks the arm; 6 and 7 stay clean) — the synthetic
@@ -1056,6 +1081,43 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q50_chunk_search" -> chunkSearchSql(Seq("spark", "merge", "join"),
       k = 10, boost = 1.5, phraseBoost = 2.0),
+    "q55_quality_dist" ->
+      """SELECT CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(sum(CASE WHEN q >= 0.5 AND q < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+               CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS low,
+               round(avg(q), 6) AS avg_q, round(max(q), 6) AS max_q,
+               round(min(q), 6) AS min_q
+        FROM (SELECT n_chars / 1000.0 AS q FROM documents)""",
+    "q56_topic_clusters" ->
+      """WITH sel AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+        n AS (SELECT count(*) AS n FROM sel),
+        tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM sel),
+        f AS (SELECT w, count(*) AS cnt FROM tk WHERE length(w) >= 4
+              GROUP BY w HAVING count(*) >= 2)
+        SELECT w, cnt, round(CAST(cnt AS DOUBLE) / n.n, 6) AS relevance
+        FROM f, n ORDER BY cnt DESC, w LIMIT 5""",
+    "q57_freshness" ->
+      """WITH y AS (
+          SELECT doc_id, list_max(list_filter(list_transform(
+            regexp_extract_all(t, '\b(19|20)\d{2}\b'),
+            x -> CAST(x AS INTEGER)), v -> v BETWEEN 1900 AND 2026)) AS max_year
+          FROM (SELECT doc_id, text || CASE doc_id % 5
+            WHEN 0 THEN ' published 2025' WHEN 1 THEN ' from 2021 and 2023'
+            WHEN 2 THEN ' revised 2019' WHEN 3 THEN ' archive 1999'
+            ELSE '' END AS t FROM documents))
+        SELECT doc_id, max_year,
+          CASE WHEN max_year IS NULL THEN 'unknown'
+               WHEN max_year >= 2024 THEN 'very_recent'
+               WHEN max_year >= 2022 THEN 'recent'
+               WHEN max_year >= 2018 THEN 'older'
+               ELSE 'outdated' END AS freshness
+        FROM y""",
+    "q58_date_range" ->
+      """SELECT strftime(min(ts), '%Y-%m-%d') AS earliest,
+               strftime(max(ts), '%Y-%m-%d') AS latest,
+               date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
+               count(ts) AS dated_results
+        FROM events""",
     "q54_web_noise" -> webNoiseSql,
     "q53_fallback" -> Seq(
         fallbackSql(Seq("src3"), "src3", qid = 0),
