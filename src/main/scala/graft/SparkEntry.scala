@@ -256,6 +256,46 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q61_lifecycle" -> ((s, d) => {
+      // §3.1 end-to-end through SearchService: validate -> X4 spell-correct
+      // ("pythn" -> "python") -> primary search. The oracle scores the
+      // CORRECTED query (python has df=0 here and contributes nothing,
+      // exactly like the engine's dropped unknown term), so a broken
+      // correction step fails the gate.
+      val resp = graft.query.SearchService.search(docsIndex(s, d),
+        "pythn merge join",
+        SearchOpts(k = 9, overfetch = 3, diversity = true, wand = true)).get
+      resp.results.select(col("rank").cast("long").as("rnk"),
+        col("docId").as("doc_id"), round(col("score"), 6).as("score"),
+        col("repo"))
+    }),
+    "q59_domain_analysis" -> ((s, d) => {
+      // A9: top-10 domains + authoritative (Q1 domainScore >= 0.8) —
+      // domains injected per doc_id to exercise exact-map, TLD-suffix and
+      // default arms of the score
+      val dom = when(col("doc_id") % 6 === 0, lit("github.com"))
+        .when(col("doc_id") % 6 === 1, lit("wikipedia.org"))
+        .when(col("doc_id") % 6 === 2, lit("medium.com"))
+        .when(col("doc_id") % 6 === 3, concat(col("source"), lit(".edu")))
+        .when(col("doc_id") % 6 === 4, concat(col("source"), lit(".net")))
+        .otherwise(concat(col("source"), lit(".example")))
+      graft.pipeline.Insights.domainAnalysis(
+          t(s, d, "documents").withColumn("domain", dom), "domain")
+        .withColumn("authoritative", col("authoritative").cast("long"))
+    }),
+    "q60_authority" -> ((s, d) => {
+      // A6: authority-indicator counts; markers injected per doc_id so
+      // each signal regex fires on a known subset
+      val atext = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" official documentation here"))
+          .when(col("doc_id") % 5 === 1, lit(" written by a professor"))
+          .when(col("doc_id") % 5 === 2,
+            lit(" discussed on stack overflow and github community"))
+          .when(col("doc_id") % 5 === 3, lit(" peer reviewed journal study"))
+          .otherwise(lit("")))
+      graft.pipeline.Insights.authoritySignals(
+        t(s, d, "documents").withColumn("text", atext), "text")
+    }),
     "q55_quality_dist" -> ((s, d) =>
       // A3 quality buckets over a deterministic quality column
       graft.pipeline.Insights.qualityDistribution(
@@ -1081,6 +1121,43 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       .map(q => s"SELECT * FROM ($q)").mkString("\nUNION ALL\n"),
     "q50_chunk_search" -> chunkSearchSql(Seq("spark", "merge", "join"),
       k = 10, boost = 1.5, phraseBoost = 2.0),
+    "q61_lifecycle" ->
+      bm25Sql(Seq("python", "merge", "join"), 9, diversity = true),
+    "q59_domain_analysis" -> {
+      // score SQL generated from the SAME maps as Scoring.domainScore
+      val exact = graft.pipeline.Scoring.DomainScores.toSeq.sorted
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      val tld = graft.pipeline.Scoring.TldScores.toSeq.sorted
+        .map { case (k, v) => s"WHEN ends_with(domain, '$k') THEN $v" }
+        .mkString(" ")
+      s"""WITH dd AS (
+        SELECT CASE doc_id % 6
+          WHEN 0 THEN 'github.com' WHEN 1 THEN 'wikipedia.org'
+          WHEN 2 THEN 'medium.com' WHEN 3 THEN source || '.edu'
+          WHEN 4 THEN source || '.net' ELSE source || '.example' END AS domain
+        FROM documents),
+      top AS (SELECT domain, count(*) AS n FROM dd GROUP BY domain
+              ORDER BY n DESC, domain LIMIT 10)
+      SELECT domain, n,
+        CAST(coalesce(CASE domain $exact END, CASE $tld ELSE 0.3 END) >= 0.8
+          AS BIGINT) AS authoritative
+      FROM top"""
+    },
+    "q60_authority" ->
+      """WITH a AS (
+        SELECT lower(text || CASE doc_id % 5
+          WHEN 0 THEN ' official documentation here'
+          WHEN 1 THEN ' written by a professor'
+          WHEN 2 THEN ' discussed on stack overflow and github community'
+          WHEN 3 THEN ' peer reviewed journal study'
+          ELSE '' END) AS t
+        FROM documents)
+      SELECT
+        CAST(sum(CASE WHEN regexp_matches(t, 'official documentation|docs\.') THEN 1 ELSE 0 END) AS BIGINT) AS official_docs,
+        CAST(sum(CASE WHEN regexp_matches(t, '\bphd|professor|researcher\b') THEN 1 ELSE 0 END) AS BIGINT) AS expert,
+        CAST(sum(CASE WHEN regexp_matches(t, 'stack overflow|github|community') THEN 1 ELSE 0 END) AS BIGINT) AS community,
+        CAST(sum(CASE WHEN regexp_matches(t, '\bjournal|study|peer.reviewed\b') THEN 1 ELSE 0 END) AS BIGINT) AS academic
+      FROM a""",
     "q55_quality_dist" ->
       """SELECT CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high,
                CAST(sum(CASE WHEN q >= 0.5 AND q < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS medium,
