@@ -256,6 +256,15 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q62_highlight" -> ((s, d) => {
+      // T21: excerpt window around the first term hit (ellipses), first-300
+      // fallback when absent — term varies per doc_id to hit all arms
+      val term = when(col("doc_id") % 3 === 0, lit("merge"))
+        .when(col("doc_id") % 3 === 1, lit("window"))
+        .otherwise(lit("zzznotfound"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.TextPipeline.highlight(col("text"), term).as("excerpt"))
+    }),
     "q61_lifecycle" -> ((s, d) => {
       // §3.1 end-to-end through SearchService: validate -> X4 spell-correct
       // ("pythn" -> "python") -> primary search. The oracle scores the
@@ -1123,6 +1132,19 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       k = 10, boost = 1.5, phraseBoost = 2.0),
     "q61_lifecycle" ->
       bm25Sql(Seq("python", "merge", "join"), 9, diversity = true),
+    "q62_highlight" ->
+      """WITH h AS (
+        SELECT doc_id, text,
+          CASE doc_id % 3 WHEN 0 THEN 'merge' WHEN 1 THEN 'window'
+            ELSE 'zzznotfound' END AS term
+        FROM documents),
+      p AS (SELECT doc_id, text, strpos(lower(text), lower(term)) AS pos FROM h)
+      SELECT doc_id,
+        CASE WHEN pos = 0 THEN substring(text, 1, 300)
+             ELSE (CASE WHEN greatest(pos - 100, 1) > 1 THEN '...' ELSE '' END)
+                  || substring(text, greatest(pos - 100, 1), 400) || '...'
+        END AS excerpt
+      FROM p""",
     "q59_domain_analysis" -> {
       // score SQL generated from the SAME maps as Scoring.domainScore
       val exact = graft.pipeline.Scoring.DomainScores.toSeq.sorted
