@@ -297,7 +297,35 @@ object Bench {
     * out of the single-box measurement is what makes it representative.
     * Input is generated in-memory (seeded, splittable); tmpfs is cleaned
     * up in finally. */
-  def buildOnlyAt(cpus: Int, nDocs: Long, seed: Long): (Double, Double) = {
+  /** Fixed-total-work memory-bandwidth probe: `totalPasses` strided
+    * traversals of a shared 1 GiB long array split across `threads`
+    * threads (stride 8 longs = one 64 B cache line per touch, so the sum
+    * is bandwidth- not ALU-bound). The reproduction-run lesson
+    * (BASELINE.md): host contention can throttle the 32-way shuffle/write
+    * path while CPU spin and the hashing kernel stay clean — this probe
+    * makes that mode VISIBLE in the artifact. Observability only; the
+    * normalized headline still divides by the Spark kernel. */
+  // lazy: only the scalepair children (24g heap) pay the 1 GiB footprint,
+  // not the sbt-hosted orchestrator JVM
+  private lazy val membwArray: Array[Long] = Array.tabulate(1 << 27)(_.toLong)
+  def membwSec(threads: Int, totalPasses: Int = 32): Double = {
+    val pool = _root_.java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val arr = membwArray
+    val t0 = System.nanoTime()
+    val futs = (0 until totalPasses).map { p =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var s = 0L; var i = p % 8; val n = arr.length
+          while (i < n) { s += arr(i); i += 8 }
+          if (s == 42L) System.err.print("") // keep the loop live
+        }
+      })
+    }
+    futs.foreach(_.get()); pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def buildOnlyAt(cpus: Int, nDocs: Long, seed: Long): (Double, Double, Double) = {
     val base = s"/dev/shm/graft-bench-bo-c$cpus"
     val spark = {
       val s = SparkSession.builder()
@@ -341,7 +369,7 @@ object Bench {
           sum(size(graft.core.Analyzer.tokensCol(col("content")))).as("b"))
         .collect()
       val kernelSec = (System.nanoTime() - t1) / 1e9
-      (buildSec, kernelSec)
+      (buildSec, kernelSec, membwSec(cpus))
     } finally {
       spark.stop()
       val p = java.nio.file.Paths.get(base)
@@ -411,21 +439,21 @@ object Bench {
     }
 
   /** One scaling SAMPLE: both levels back-to-back in the SAME process
-    * (c8 build+kernel, then c32 build+kernel) so the pair shares one host
+    * (c8 build+kernel+membw, then c32) so the pair shares one host
     * window — host contention on this shared box drifts on a minutes
     * scale, and a pair whose two levels run minutes apart measures the
-    * drift, not the scaling. Returns (b8, k8, b32, k32). */
-  def scalePairAt(nDocs: Long, seed: Long): (Double, Double, Double, Double) = {
-    val (b8, k8) = buildOnlyAt(8, nDocs, seed)
-    val (b32, k32) = buildOnlyAt(32, nDocs, seed)
-    (b8, k8, b32, k32)
+    * drift, not the scaling. Returns (b8, k8, m8, b32, k32, m32). */
+  def scalePairAt(nDocs: Long, seed: Long): (Double, Double, Double, Double, Double, Double) = {
+    val (b8, k8, m8) = buildOnlyAt(8, nDocs, seed)
+    val (b32, k32, m32) = buildOnlyAt(32, nDocs, seed)
+    (b8, k8, m8, b32, k32, m32)
   }
 
-  private def scalePairIsolated(nDocs: Long, seed: Long): (Double, Double, Double, Double) =
+  private def scalePairIsolated(nDocs: Long, seed: Long): (Double, Double, Double, Double, Double, Double) =
     try {
       val parts = childLine(Seq("scalepair", nDocs.toString), "BENCHSCALE ")
         .stripPrefix("BENCHSCALE ").split(",").map(_.toDouble)
-      (parts(0), parts(1), parts(2), parts(3))
+      (parts(0), parts(1), parts(2), parts(3), parts(4), parts(5))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scalepair child failed (${e.getMessage}); in-process")
@@ -443,8 +471,8 @@ object Bench {
     val seed = 42L
 
     if (args.nonEmpty && args(0) == "scalepair") { // build-scaling sample child
-      val (b8, k8, b32, k32) = scalePairAt(args(1).toLong, seed)
-      println(s"BENCHSCALE $b8,$k8,$b32,$k32")
+      val (b8, k8, m8, b32, k32, m32) = scalePairAt(args(1).toLong, seed)
+      println(s"BENCHSCALE $b8,$k8,$m8,$b32,$k32,$m32")
       return
     }
     if (args.nonEmpty) { // child mode: one level, machine-readable line
@@ -479,8 +507,12 @@ object Bench {
     val scaleDocs = sys.env.get("SPARK_GRAFT_BENCH_SCALE_DOCS").map(_.toLong)
       .getOrElse(4 * nDocs)
     val samples = (1 to 3).map(_ => scalePairIsolated(scaleDocs, seed))
-    val effSamples = samples.map { case (b8, _, b32, _) => (b8 / b32) / 4.0 }
-    val kernelEffSamples = samples.map { case (_, k8, _, k32) => (k8 / k32) / 4.0 }
+    val effSamples = samples.map { case (b8, _, _, b32, _, _) => (b8 / b32) / 4.0 }
+    val kernelEffSamples = samples.map { case (_, k8, _, _, k32, _) => (k8 / k32) / 4.0 }
+    // memory-bandwidth eff per pair — OBSERVABILITY: when a window throttles
+    // the 32-way shuffle/write path while spin+kernel stay clean
+    // (BASELINE.md reproduction note), this column is the tell
+    val membwEffSamples = samples.map { case (_, _, m8, _, _, m32) => (m8 / m32) / 4.0 }
     val normSamples = effSamples.zip(kernelEffSamples).map { case (e, k) =>
       if (k > 0) e / k else 0.0 }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
@@ -562,15 +594,19 @@ object Bench {
       effSamples.indices.flatMap { i => Seq(
         s"scaling_eff_build_8to32_run${i + 1}" -> effSamples(i),
         s"scaling_kernel_eff_8to32_run${i + 1}" -> kernelEffSamples(i),
+        s"scaling_membw_eff_8to32_run${i + 1}" -> membwEffSamples(i),
         s"scaling_eff_build_8to32_run${i + 1}_normalized" -> normSamples(i)) } ++
-      samples.zipWithIndex.flatMap { case ((b8, k8, b32, k32), i) => Seq(
+      samples.zipWithIndex.flatMap { case ((b8, k8, m8, b32, k32, m32), i) => Seq(
         s"scaling_build_sec_c8_run${i + 1}" -> b8,
         s"scaling_build_sec_c32_run${i + 1}" -> b32,
         s"scaling_kernel_sec_c8_run${i + 1}" -> k8,
-        s"scaling_kernel_sec_c32_run${i + 1}" -> k32) } ++ Seq(
+        s"scaling_kernel_sec_c32_run${i + 1}" -> k32,
+        s"scaling_membw_sec_c8_run${i + 1}" -> m8,
+        s"scaling_membw_sec_c32_run${i + 1}" -> m32) } ++ Seq(
         "scaling_docs" -> scaleDocs.toDouble,
         "scaling_eff_build_8to32" -> effBuild,
         "scaling_kernel_eff_8to32" -> median(kernelEffSamples),
+        "scaling_membw_eff_8to32" -> median(membwEffSamples),
         "scaling_eff_build_8to32_normalized" -> median(normSamples),
         "scaling_eff_build_8to32_best_normalized" -> normSamples.max,
         "scaling_eff_query_8to32" -> effQuery,
