@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.{BlockRow, Codec, IndexBuilder}
+import graft.index.{BlockRow, Codec, Compaction, IndexBuilder}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{QueryEngine, SearchIndex}
 import graft.query.QueryEngine.SearchOpts
@@ -110,6 +110,33 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** Index built through the full ingest lifecycle — three straddled resume
+    * batches (docId-range cuts, so interior docGroups really hold multiple
+    * segments) then a segment compaction — for the q59 gate: the
+    * post-compaction index must answer the BM25 oracle identically to a
+    * monolithic build (CompactionSpec proves bitwise table equality; the
+    * gate proves it against the external DuckDB oracle). */
+  def docsIndexCompacted(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#compacted", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-compacted"
+      val corpus = docsCorpus(spark, sfDir)
+      val maxId = corpus.agg(max(col("docId"))).collect()(0).getLong(0)
+      val p = IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+        fields = Seq("content"))
+      IndexBuilder.build(spark, corpus.filter(col("docId") <= maxId / 3), dir,
+        p.copy(inputSnapshot = "batch-0"))
+      IndexBuilder.resume(spark, corpus.filter(col("docId") <= 2 * maxId / 3),
+        dir, p.copy(inputSnapshot = "batch-1"))
+      IndexBuilder.resume(spark, corpus, dir, p.copy(inputSnapshot = "batch-2"))
+      // falsifiability: the fixture must really fragment, and really merge
+      val segs = spark.read.parquet(s"$dir/lineage")
+        .select("inputSnapshot").distinct().count()
+      require(segs == 3, s"compaction gate fixture: expected 3 segments, got $segs")
+      require(Compaction.compact(spark, dir, blockSize = 128).nonEmpty,
+        "compaction gate fixture: compact was a no-op")
+      new SearchIndex(spark, dir)
+    })
+
   private def bm25(spark: SparkSession, sfDir: String, query: String, k: Int,
       diversity: Boolean, wand: Boolean): DataFrame = {
     val idx = docsIndex(spark, sfDir)
@@ -206,6 +233,13 @@ object SparkEntry {
       bm25(s, d, "spark merge join", 10, diversity = false, wand = false)),
     "q14_bm25_wand" -> ((s, d) =>
       bm25(s, d, "window scan filter", 10, diversity = false, wand = true)),
+    "q63_compaction" -> ((s, d) => {
+      val idx = docsIndexCompacted(s, d)
+      QueryEngine.search(idx, "merge scan table",
+          SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
+        .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("repo"))
+    }),
     "q15_bm25_multi" -> ((s, d) => {
       Seq("sort table", "group data row", "slow filter")
         .zipWithIndex.map { case (q, i) =>
@@ -1116,6 +1150,10 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
         GROUP BY term, toks.doc_id""",
     "q13_bm25_topk" -> bm25Sql(Seq("spark", "merge", "join"), 10, diversity = false),
     "q14_bm25_wand" -> bm25Sql(Seq("window", "scan", "filter"), 10, diversity = false),
+    // same from-first-principles BM25 restatement — the Spark side answers
+    // through the build->resume->resume->compact lifecycle index, so a hash
+    // match proves compaction preserved every df/tf/dl the scorer sees
+    "q63_compaction" -> bm25Sql(Seq("merge", "scan", "table"), 10, diversity = false),
     "q15_bm25_multi" -> Seq(
         ("sort table", 0), ("group data row", 1), ("slow filter", 2))
       .map { case (q, i) =>

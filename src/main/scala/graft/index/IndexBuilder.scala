@@ -196,8 +196,10 @@ object IndexBuilder {
       params: Params = Params()): Unit = {
     // a crash mid-expiry leaves a _pending_expiry marker: finish the expiry
     // (idempotent re-delete + derived refresh) before appending, or the
-    // append's own refresh would bake half-expired segments into the stats
+    // append's own refresh would bake half-expired segments into the stats;
+    // same for a compaction that died mid-swap (_pending_compaction)
     Retention.recoverPendingExpiry(spark, dir, params.io)
+    Compaction.recoverPendingCompaction(spark, dir, params.io)
     buildGroups(spark, corpus, dir, params, resume = true)
   }
 

@@ -57,6 +57,10 @@ object Retention {
   def expireSnapshots(spark: SparkSession, dir: String,
       snapshots: Seq[String], io: TableIO = ParquetTableIO): Unit = {
     recoverPendingExpiry(spark, dir, io)
+    // an unresolved compaction must be settled first: post-commit its old
+    // segments are half-deleted (lineage would misreport the survivors);
+    // pre-commit its partial new segment must not shadow an expiry target
+    Compaction.recoverPendingCompaction(spark, dir, io)
     if (snapshots.isEmpty) return
     val layout = IndexBuilder.Layout(dir)
     // refuse to expire the ENTIRE index: an empty docs/postings table has

@@ -13,9 +13,12 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
   private val layout = IndexBuilder.Layout(dir)
   // crash-recovery sweep: a _pending_expiry marker means a Retention expiry
   // died between its partition deletes and the derived-table refresh — the
-  // derived df/avgdl would silently reference expired segments. One
-  // fs.exists per index open (no-op in the common case).
+  // derived df/avgdl would silently reference expired segments; a
+  // _pending_compaction marker means a segment merge died mid-swap (rolled
+  // back or forward depending on its commit phase). One fs.exists each per
+  // index open (no-op in the common case).
   graft.index.Retention.recoverPendingExpiry(spark, dir)
+  graft.index.Compaction.recoverPendingCompaction(spark, dir)
   lazy val docs: DataFrame = spark.read.parquet(layout.docs)
   lazy val postings: DataFrame = spark.read.parquet(layout.postings)
   lazy val dictionary: DataFrame = spark.read.parquet(layout.dictionary)

@@ -1,0 +1,153 @@
+package graft
+
+import graft.core.CorpusGen
+import graft.index.{Compaction, IndexBuilder}
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Segment compaction (force-merge analog): merging all committed segments
+  * must leave an index BITWISE equal to a fresh monolithic build of the
+  * same corpus at the same blockSize — same doc rows, same encoded posting
+  * blocks, same dictionary/stats — and queries must be invariant across the
+  * whole protocol, including both crash windows (pre-commit roll-back,
+  * post-commit roll-forward). */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val params = IndexBuilder.Params(blockSize = 32, docGroupSize = 128L,
+    fields = Seq("content"))
+  private val queries = Seq("python tutorial", "machine learning", "data")
+
+  /** 3 batches cut at docIds 100/200 with docGroupSize=128: groups 0 and 1
+    * each end up holding TWO segments (the straddled-append shape a
+    * streaming ingest produces). */
+  private def buildFragmented(dir: String, seed: Long) = {
+    val corpus = CorpusGen.generateDF(spark, 300L, seed, partitions = 2)
+    IndexBuilder.build(spark, corpus.filter(col("docId") < 100), dir, params)
+    IndexBuilder.resume(spark, corpus.filter(col("docId") < 200), dir,
+      params.copy(inputSnapshot = "snapshot-1"))
+    IndexBuilder.resume(spark, corpus, dir,
+      params.copy(inputSnapshot = "snapshot-2"))
+    corpus
+  }
+
+  private def segmentsOf(dir: String): Set[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/lineage")
+      .select("inputSnapshot").distinct().as[String].collect().toSet
+  }
+
+  private def searchAll(dir: String): Seq[Seq[Seq[Any]]] = {
+    val idx = new SearchIndex(spark, dir)
+    queries.map(q =>
+      QueryEngine.search(idx, q, SearchOpts()).collect().map(_.toSeq).toSeq)
+  }
+
+  private def blockRows(dir: String) =
+    spark.read.parquet(s"$dir/postings")
+      .select(col("field"), col("term"), col("docGroup"), col("blockIdx"),
+        col("firstDocId"), col("lastDocId"), col("n"), col("sumTf"),
+        col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
+        md5(col("bytes")).as("b"))
+      .collect().map(_.toSeq).toSet
+
+  private def dict(dir: String) = spark.read.parquet(s"$dir/dictionary")
+    .select("field", "term", "df", "totalTf", "nBlocks", "maxTf", "minDl")
+    .collect().map(_.toSeq).toSet
+
+  test("compact == fresh monolithic build bitwise; queries invariant; blocks shrink") {
+    val dir = "/tmp/graft-test/compaction"
+    val fresh = "/tmp/graft-test/compaction-fresh"
+    val corpus = buildFragmented(dir, seed = 61L)
+    assert(segmentsOf(dir) == Set("snapshot-0", "snapshot-1", "snapshot-2"))
+    // the straddled groups really are fragmented (falsifiability guard)
+    val multiSegGroups = spark.read.parquet(s"$dir/postings")
+      .groupBy("docGroup").agg(countDistinct("segment").as("s"))
+      .filter(col("s") > 1).count()
+    assert(multiSegGroups >= 2, "fixture failed to fragment any docGroup")
+    val pre = searchAll(dir)
+    val preBlocks = blockRows(dir).size
+
+    val res = Compaction.compact(spark, dir, blockSize = 32)
+    assert(res.contains(Compaction.segmentName(
+      Seq("snapshot-0", "snapshot-1", "snapshot-2"))))
+    assert(segmentsOf(dir) == Set(res.get))
+    assert(searchAll(dir) == pre, "compaction changed query results")
+    assert(blockRows(dir).size < preBlocks, "compaction merged no blocks")
+
+    IndexBuilder.build(spark, corpus, fresh, params)
+    assert(blockRows(dir) == blockRows(fresh),
+      "compacted posting blocks != fresh monolithic build")
+    assert(dict(dir) == dict(fresh), "compacted dictionary != fresh build")
+    def docRows(d: String) = spark.read.parquet(s"$d/docs").drop("segment")
+      .collect().map(_.toSeq).toSet
+    assert(docRows(dir) == docRows(fresh), "compacted docs != fresh build")
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .collect().map(_.toSeq).toSet
+    assert(stats(dir) == stats(fresh))
+    // lineage per-group commit state carries over (resume semantics intact)
+    def lin(d: String) = spark.read.parquet(s"$d/lineage")
+      .select("partitionId", "docs", "maxDocId", "shaOk")
+      .collect().map(_.toSeq).toSet
+    assert(lin(dir) == lin(fresh), "compacted lineage group state drifted")
+
+    // single-segment index: compaction is a no-op
+    assert(Compaction.compact(spark, dir, blockSize = 32).isEmpty)
+  }
+
+  test("pre-commit crash rolls back: old segments keep serving unchanged") {
+    val dir = "/tmp/graft-test/compaction-crash1"
+    buildFragmented(dir, seed = 67L)
+    val pre = searchAll(dir)
+    val preDict = dict(dir)
+    val segs = segmentsOf(dir).toSeq.sorted
+    val newSeg = Compaction.segmentName(segs)
+
+    // crash window: intent marker + a PARTIAL new segment (docs only, no
+    // postings, no commit marker)
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_pending_compaction")
+    Compaction.writeMarker(spark, pending, (newSeg +: segs).mkString("\n"))
+    graft.io.ParquetTableIO.overwritePartitions(
+      spark.read.parquet(s"$dir/docs").drop("segment")
+        .withColumn("segment", lit(newSeg)),
+      s"$dir/docs", Seq("docGroup", "segment"))
+
+    assert(Compaction.recoverPendingCompaction(spark, dir))
+    val fs = pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(pending), "pending marker must be cleared")
+    assert(segmentsOf(dir) == segs.toSet, "roll-back touched lineage")
+    import spark.implicits._
+    val docSegs = spark.read.parquet(s"$dir/docs")
+      .select("segment").distinct().as[String].collect().toSet
+    assert(docSegs == segs.toSet, "partial new segment survived roll-back")
+    assert(dict(dir) == preDict)
+    assert(searchAll(dir) == pre, "roll-back changed query results")
+    assert(!Compaction.recoverPendingCompaction(spark, dir), "recover must be a no-op after recovery")
+  }
+
+  test("post-commit crash rolls forward at index open") {
+    val dir = "/tmp/graft-test/compaction-crash2"
+    buildFragmented(dir, seed = 71L)
+    val pre = searchAll(dir)
+    val segs = segmentsOf(dir).toSeq.sorted
+    val newSeg = Compaction.segmentName(segs)
+
+    // full phase 1 + commit marker, then "crash" before any phase-2 work
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_pending_compaction")
+    val commit = new org.apache.hadoop.fs.Path(s"$dir/_compaction_commit")
+    Compaction.writeMarker(spark, pending, (newSeg +: segs).mkString("\n"))
+    Compaction.writeCompactedSegment(spark, dir, segs, newSeg, 32,
+      graft.io.ParquetTableIO)
+    Compaction.writeMarker(spark, commit, newSeg)
+
+    // SearchIndex ctor recovery must finish the swap
+    val post = searchAll(dir)
+    val fs = pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(pending) && !fs.exists(commit),
+      "markers must be cleared by roll-forward")
+    assert(segmentsOf(dir) == Set(newSeg), "old segments survived roll-forward")
+    assert(post == pre, "roll-forward changed query results")
+  }
+}
