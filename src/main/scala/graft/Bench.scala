@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.CorpusGen
-import graft.index.IndexBuilder
+import graft.index.{Compaction, IndexBuilder}
 import graft.query.{QueryEngine, SearchIndex}
 import graft.query.QueryEngine.SearchOpts
 import org.apache.spark.sql.SparkSession
@@ -308,6 +308,61 @@ object Bench {
   // lazy: only the scalepair children (24g heap) pay the 1 GiB footprint,
   // not the sbt-hosted orchestrator JVM
   private lazy val membwArray: Array[Long] = Array.tabulate(1 << 27)(_.toLong)
+  /** Fragmentation/compaction probe: ingest `nDocs` as 8 straddled resume
+    * batches (the streaming cadence shape), measure the hot query p50 on
+    * the fragmented index, compact, re-measure. Reports the block-count
+    * reduction and compaction throughput — the force-merge cost/benefit a
+    * long-running ingest pays at its merge cadence. */
+  def compactionProbe(cpus: Int, nDocs: Long, seed: Long): Seq[(String, Double)] = {
+    val spark = session(cpus)
+    try {
+      import org.apache.spark.sql.functions.col
+      val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+        fields = Seq("content"))
+      val opts = SearchOpts(k = 10, overfetch = 3, diversity = true, wand = true)
+      val dir = "/tmp/graft-bench/frag"
+      IndexBuilder.deleteDir(spark, dir)
+      val corpus = CorpusGen.generateDF(spark, nDocs, seed, partitions = cpus * 4)
+      val nBatches = 8
+      val step = nDocs / nBatches
+      (0 until nBatches).foreach { i =>
+        val upTo = if (i == nBatches - 1) Long.MaxValue else (i + 1) * step
+        val p = params.copy(inputSnapshot = s"batch-$i")
+        if (i == 0) IndexBuilder.build(spark, corpus.filter(col("docId") < upTo), dir, p)
+        else IndexBuilder.resume(spark, corpus.filter(col("docId") < upTo), dir, p)
+      }
+      val blocksBefore = spark.read.parquet(s"$dir/postings").count().toDouble
+
+      def hotP50(): Double = {
+        val idx = new SearchIndex(spark, dir).warm()
+        QueryEngine.search(idx, ReferenceQueries.head, opts).collect()
+        val lats = ReferenceQueries.map { q =>
+          val t0 = System.nanoTime()
+          QueryEngine.search(idx, q, opts).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache()
+        pct(lats, 0.50)
+      }
+      val p50Frag = hotP50()
+      val t0 = System.nanoTime()
+      val merged = Compaction.compact(spark, dir, blockSize = params.blockSize)
+      val compactSec = (System.nanoTime() - t0) / 1e9
+      require(merged.nonEmpty, "compaction probe: compact was a no-op")
+      val blocksAfter = spark.read.parquet(s"$dir/postings").count().toDouble
+      val p50Compact = hotP50()
+      Seq(
+        "compaction_docs" -> nDocs.toDouble,
+        "compaction_segments_before" -> nBatches.toDouble,
+        "compaction_sec" -> compactSec,
+        "compaction_docs_per_sec" -> nDocs / compactSec,
+        "compaction_blocks_before" -> blocksBefore,
+        "compaction_blocks_after" -> blocksAfter,
+        "query_p50_sec_fragmented_c32" -> p50Frag,
+        "query_p50_sec_compacted_c32" -> p50Compact)
+    } finally spark.stop()
+  }
+
   def membwSec(threads: Int, totalPasses: Int = 32): Double = {
     val pool = _root_.java.util.concurrent.Executors.newFixedThreadPool(threads)
     val arr = membwArray
@@ -475,6 +530,12 @@ object Bench {
       println(s"BENCHSCALE $b8,$k8,$m8,$b32,$k32,$m32")
       return
     }
+    if (args.nonEmpty && args(0) == "compaction") { // dev: probe only
+      val entries = compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
+      println(entries.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+      return
+    }
     if (args.nonEmpty) { // child mode: one level, machine-readable line
       println(encode(runAt(args(0).toInt, nDocs, seed)))
       return
@@ -517,6 +578,8 @@ object Bench {
       if (k > 0) e / k else 0.0 }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val effBuild = median(effSamples)
+    // force-merge cost/benefit at the streaming ingest cadence (8 batches)
+    val compaction = compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
     val effQuery = (high.servingParQps / low.servingParQps) / 4.0
 
     val entries: Seq[(String, Double)] =
@@ -611,7 +674,7 @@ object Bench {
         "scaling_eff_build_8to32_best_normalized" -> normSamples.max,
         "scaling_eff_query_8to32" -> effQuery,
         "scaling_eff_query_8to32_normalized" ->
-          (if (spinEff > 0) effQuery / spinEff else 0.0))
+          (if (spinEff > 0) effQuery / spinEff else 0.0)) ++ compaction
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = low.buildSec + high.buildSec +
       low.latencies.values.sum + high.latencies.values.sum

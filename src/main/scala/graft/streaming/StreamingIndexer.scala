@@ -28,11 +28,19 @@ object StreamingIndexer {
     * all parquet files in `inputDir`. Rows must carry a `docId` column or
     * one is derived (IndexBuilder.withDocId). `segmentPrefix` names the
     * lineage segments (`<prefix>-N`) so multiple sources feeding one index
-    * (dual-priority) never collide. */
+    * (dual-priority) never collide.
+    *
+    * `maxSegments` > 0 enables the tiered auto-merge: after a micro-batch
+    * leaves more than that many committed segments, the newest run is
+    * force-merged down to the budget (Compaction.compactTail) — the
+    * Lucene-merge-policy analog of the reference's single-shard/30s-refresh
+    * tuning. Crash-safe in both directions: compaction has its own marker
+    * protocol, and a batch retried AFTER its segments were merged resumes
+    * to zero pending rows (lineage carries the committed state forward). */
   def runAvailableNow(spark: SparkSession, inputDir: String, schema: StructType,
       indexDir: String, checkpointDir: String,
       params: IndexBuilder.Params = IndexBuilder.Params(),
-      segmentPrefix: String = "epoch"): Unit = {
+      segmentPrefix: String = "epoch", maxSegments: Int = 0): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 4) // backpressure (reference S8/K6 analog)
@@ -51,6 +59,11 @@ object StreamingIndexer {
           // instead of being dropped (IndexBuilder.pendingRows).
           IndexBuilder.resume(spark, batch, indexDir,
             params.copy(inputSnapshot = s"$segmentPrefix-$epochId"))
+          if (maxSegments > 0) {
+            graft.index.Compaction.compactTail(spark, indexDir, maxSegments,
+              params.blockSize, params.io)
+            ()
+          }
         }
         ()
       }

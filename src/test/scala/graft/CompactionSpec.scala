@@ -97,6 +97,56 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compaction.compact(spark, dir, blockSize = 32).isEmpty)
   }
 
+  private def dictCore(dir: String) = spark.read.parquet(s"$dir/dictionary")
+    .select("field", "term", "df", "totalTf", "maxTf", "minDl")
+    .collect().map(_.toSeq).toSet
+
+  test("partial compaction: contiguous tail merges, stats invariant; interleaved run refused") {
+    val dir = "/tmp/graft-test/compaction-partial"
+    buildFragmented(dir, seed = 73L)
+    val pre = searchAll(dir)
+    val preDict = dictCore(dir)
+
+    val res = Compaction.compactSegments(spark, dir,
+      Seq("snapshot-1", "snapshot-2"), blockSize = 32)
+    assert(res.contains(Compaction.segmentName(Seq("snapshot-1", "snapshot-2"))))
+    assert(segmentsOf(dir) == Set("snapshot-0", res.get),
+      "partial merge must leave untouched segments in place")
+    assert(searchAll(dir) == pre, "partial compaction changed query results")
+    assert(dictCore(dir) == preDict, "partial compaction drifted term stats")
+
+    // A run that would interleave an unmerged segment's range must be
+    // refused: cut batches WITHIN one docGroup (128 docs, cuts at 40/80) so
+    // group 0 holds snapshot-0 < snapshot-1 < snapshot-2.
+    val dir2 = "/tmp/graft-test/compaction-gap"
+    val corpus = CorpusGen.generateDF(spark, 128L, seed = 79L, partitions = 2)
+    IndexBuilder.build(spark, corpus.filter(col("docId") < 40), dir2, params)
+    IndexBuilder.resume(spark, corpus.filter(col("docId") < 80), dir2,
+      params.copy(inputSnapshot = "snapshot-1"))
+    IndexBuilder.resume(spark, corpus, dir2,
+      params.copy(inputSnapshot = "snapshot-2"))
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactSegments(spark, dir2,
+        Seq("snapshot-0", "snapshot-2"), blockSize = 32)
+    }
+    assert(e.getMessage.contains("contiguous"))
+    // the refused call must not have touched anything
+    assert(segmentsOf(dir2) == Set("snapshot-0", "snapshot-1", "snapshot-2"))
+  }
+
+  test("compactTail merges the newest run down to the budget") {
+    val dir = "/tmp/graft-test/compaction-tail"
+    buildFragmented(dir, seed = 83L)
+    val pre = searchAll(dir)
+    val r = Compaction.compactTail(spark, dir, maxSegments = 2, blockSize = 32)
+    assert(r.contains(Compaction.segmentName(Seq("snapshot-1", "snapshot-2"))),
+      "tail policy must pick the NEWEST contiguous run")
+    assert(segmentsOf(dir) == Set("snapshot-0", r.get))
+    assert(searchAll(dir) == pre, "tail merge changed query results")
+    assert(Compaction.compactTail(spark, dir, maxSegments = 2, blockSize = 32)
+      .isEmpty, "within-budget index must be a no-op")
+  }
+
   test("pre-commit crash rolls back: old segments keep serving unchanged") {
     val dir = "/tmp/graft-test/compaction-crash1"
     buildFragmented(dir, seed = 67L)
@@ -125,6 +175,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(dict(dir) == preDict)
     assert(searchAll(dir) == pre, "roll-back changed query results")
     assert(!Compaction.recoverPendingCompaction(spark, dir), "recover must be a no-op after recovery")
+  }
+
+  test("orphaned commit marker (crash between the final marker deletes) is swept, not replayed") {
+    val dir = "/tmp/graft-test/compaction-orphan"
+    buildFragmented(dir, seed = 89L)
+    val pre = searchAll(dir)
+    // a completed roll-forward deletes pending FIRST, so the only possible
+    // single-marker residue is commit-without-pending — recovery must treat
+    // it as finished work, not as a live phase 2
+    val commit = new org.apache.hadoop.fs.Path(s"$dir/_compaction_commit")
+    Compaction.writeMarker(spark, commit, "compact-deadbeef0000")
+    assert(!Compaction.recoverPendingCompaction(spark, dir))
+    val fs = commit.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(commit), "orphaned commit marker must be swept")
+    assert(segmentsOf(dir) == Set("snapshot-0", "snapshot-1", "snapshot-2"))
+    assert(searchAll(dir) == pre)
+    // and a subsequent real compaction proceeds normally
+    assert(Compaction.compact(spark, dir, blockSize = 32).nonEmpty)
+    assert(searchAll(dir) == pre)
   }
 
   test("post-commit crash rolls forward at index open") {

@@ -96,6 +96,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched, "stream(straddled batches) != batch(all)")
   }
 
+  test("tiered auto-merge keeps the streaming index within its segment budget") {
+    import spark.implicits._
+    val base = "/tmp/graft-test/stream-automerge"
+    IndexBuilder.deleteDir(spark, base)
+    val input = s"$base/in"
+
+    def gen(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).map(i => (i, CorpusGen.row(31L, i)))
+        .select(col("_1").as("docId"), col("_2.repo").as("repo"),
+          col("_2.path").as("path"), col("_2.commit").as("commit"),
+          col("_2.lang").as("lang"), col("_2.content").as("content"),
+          col("_2.sha256").as("sha256"))
+
+    // three arrivals of 4 files each (= 1 micro-batch each at
+    // maxFilesPerTrigger=4); budget 2 → the third batch triggers a tail
+    // merge of the two newest segments
+    gen(0L, 100L, 4).write.mode("overwrite").parquet(input)
+    val schema = spark.read.parquet(input).schema
+    def run(): Unit = StreamingIndexer.runAvailableNow(spark, input, schema,
+      s"$base/index", s"$base/ckpt", params, maxSegments = 2)
+    run()
+    gen(100L, 200L, 4).write.mode("append").parquet(input)
+    run()
+    gen(200L, 300L, 4).write.mode("append").parquet(input)
+    run()
+
+    val segs = spark.read.parquet(s"$base/index/lineage")
+      .select("inputSnapshot").distinct().as[String].collect().toSet
+    assert(segs.size <= 2, s"auto-merge left ${segs.size} segments: $segs")
+    assert(segs.exists(_.startsWith("compact-")), "no merged segment present")
+    assert(spark.read.parquet(s"$base/index/docs").count() == 300L)
+
+    val batchDir = s"$base/batch"
+    IndexBuilder.build(spark, gen(0L, 300L, 4).toDF(), batchDir, params)
+    val q = "python tutorial"
+    val streamed = QueryEngine.search(new SearchIndex(spark, s"$base/index"), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    val batched = QueryEngine.search(new SearchIndex(spark, batchDir), q,
+      SearchOpts()).collect().map(_.toSeq).toSeq
+    assert(streamed == batched, "auto-merged stream != batch(all)")
+  }
+
   test("dual-priority drain: fresh files always preempt backlog (S8)") {
     import spark.implicits._
     val base = "/tmp/graft-test/stream-dual"
