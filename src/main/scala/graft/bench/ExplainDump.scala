@@ -61,6 +61,16 @@ object ExplainDump {
     val guardedFallback = QueryEngine.fallback(index, "zzznotindexed src",
       SearchOpts(), wildcardMaxDocs = 0L)
 
+    // segment-compaction merge: fragment the index with a straddled append,
+    // then render the decode->re-encode plan
+    IndexBuilder.resume(spark,
+      CorpusGen.generateDF(spark, 2500L, 42L, 8)
+        .filter(col("docId") >= 2000L), dir,
+      IndexBuilder.Params(blockSize = 128, docGroupSize = 512L,
+        inputSnapshot = "snapshot-1"))
+    val compactionMerge = graft.index.Compaction.mergedBlocks(spark, dir,
+      Seq("snapshot-0", "snapshot-1"), 128, graft.io.ParquetTableIO)
+
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
        |Captured by `runMain graft.bench.ExplainDump` (2k-doc index,
@@ -85,7 +95,13 @@ object ExplainDump {
        |   shuffles the chunk or document tables;
        |8. the fallback's wildcard substring arm disappears from the plan
        |   when the corpus-size guard is closed — above `wildcardMaxDocs`
-       |   only the indexed path-field arm runs.
+       |   only the indexed path-field arm runs;
+       |9. segment compaction (force-merge) is ONE `Exchange
+       |   hashpartitioning(docGroup)` of block rows — bounded by
+       |   docGroupSize regardless of term df, the build's own skew bound —
+       |   followed by an in-partition `Sort` and a streaming
+       |   `MapPartitions` decode→re-encode (O(blockSize) memory);
+       |   the `segment IN (...)` filter reaches the parquet scan.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |
@@ -127,6 +143,12 @@ object ExplainDump {
        |
        |```
        |${fmt(guardedFallback)}
+       |```
+       |
+       |## 9. Segment compaction merge (one docGroup shuffle, streaming re-encode)
+       |
+       |```
+       |${fmt(compactionMerge.toDF())}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

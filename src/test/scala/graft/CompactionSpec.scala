@@ -60,7 +60,15 @@ class CompactionSpec extends AnyFunSuite {
   test("compact == fresh monolithic build bitwise; queries invariant; blocks shrink") {
     val dir = "/tmp/graft-test/compaction"
     val fresh = "/tmp/graft-test/compaction-fresh"
-    val corpus = buildFragmented(dir, seed = 61L)
+    // TWO fields: the merge is keyed (field, term, docGroup) — a multi-field
+    // index must round-trip bitwise too
+    val params = this.params.copy(fields = Seq("content", "path"))
+    val corpus = CorpusGen.generateDF(spark, 300L, 61L, partitions = 2)
+    IndexBuilder.build(spark, corpus.filter(col("docId") < 100), dir, params)
+    IndexBuilder.resume(spark, corpus.filter(col("docId") < 200), dir,
+      params.copy(inputSnapshot = "snapshot-1"))
+    IndexBuilder.resume(spark, corpus, dir,
+      params.copy(inputSnapshot = "snapshot-2"))
     assert(segmentsOf(dir) == Set("snapshot-0", "snapshot-1", "snapshot-2"))
     // the straddled groups really are fragmented (falsifiability guard)
     val multiSegGroups = spark.read.parquet(s"$dir/postings")
