@@ -567,9 +567,30 @@ object Bench {
     // artifact is self-contained (round-2 verdict: no prose-run appeals).
     val scaleDocs = sys.env.get("SPARK_GRAFT_BENCH_SCALE_DOCS").map(_.toLong)
       .getOrElse(4 * nDocs)
-    val samples = (1 to 3).map(_ => scalePairIsolated(scaleDocs, seed))
+    // the same-pair kernel is the CONTROL: its 8->32 efficiency on a clean
+    // window sits in a narrow band (~0.55-0.9 on this box). A pair whose
+    // kernel scales inverted (c32 slower than c8) or superlinearly past
+    // 1.25 ran through a window where one level was externally throttled —
+    // such a pair carries no information about the BUILD's scaling, and
+    // normalizing by a broken control mints garbage (observed: a polluted
+    // window produced kernel_eff 0.09 and "normalized 5.0"). Pre-declared
+    // validity band [0.35, 1.25]; invalid samples are RESAMPLED (up to 6
+    // pairs total) and still recorded with their validity flag — headline
+    // medians run over the valid ones (over all, if a hostile host never
+    // yields 3 clean windows).
+    def kernelEffOf(s: (Double, Double, Double, Double, Double, Double)) =
+      (s._2 / s._5) / 4.0
+    def sampleValid(s: (Double, Double, Double, Double, Double, Double)) = {
+      val k = kernelEffOf(s); k >= 0.35 && k <= 1.25
+    }
+    val sampleBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Double, Double)]
+    while (sampleBuf.count(sampleValid) < 3 && sampleBuf.size < 6)
+      sampleBuf += scalePairIsolated(scaleDocs, seed)
+    val samples = sampleBuf.toSeq
+    val validFlags = samples.map(sampleValid)
     val effSamples = samples.map { case (b8, _, _, b32, _, _) => (b8 / b32) / 4.0 }
-    val kernelEffSamples = samples.map { case (_, k8, _, _, k32, _) => (k8 / k32) / 4.0 }
+    val kernelEffSamples = samples.map(kernelEffOf)
     // memory-bandwidth eff per pair — OBSERVABILITY: when a window throttles
     // the 32-way shuffle/write path while spin+kernel stay clean
     // (BASELINE.md reproduction note), this column is the tell
@@ -577,7 +598,11 @@ object Bench {
     val normSamples = effSamples.zip(kernelEffSamples).map { case (e, k) =>
       if (k > 0) e / k else 0.0 }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val effBuild = median(effSamples)
+    def overValid(xs: Seq[Double]): Seq[Double] = {
+      val v = xs.zip(validFlags).collect { case (x, true) => x }
+      if (v.nonEmpty) v else xs
+    }
+    val effBuild = median(overValid(effSamples))
     // force-merge cost/benefit at the streaming ingest cadence (8 batches)
     val compaction = compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
     val effQuery = (high.servingParQps / low.servingParQps) / 4.0
@@ -658,7 +683,10 @@ object Bench {
         s"scaling_eff_build_8to32_run${i + 1}" -> effSamples(i),
         s"scaling_kernel_eff_8to32_run${i + 1}" -> kernelEffSamples(i),
         s"scaling_membw_eff_8to32_run${i + 1}" -> membwEffSamples(i),
-        s"scaling_eff_build_8to32_run${i + 1}_normalized" -> normSamples(i)) } ++
+        s"scaling_eff_build_8to32_run${i + 1}_normalized" -> normSamples(i),
+        // 1 = the pair's control kernel scaled inside the pre-declared
+        // [0.35, 1.25] band; 0 = polluted window, excluded from headlines
+        s"scaling_sample_run${i + 1}_valid" -> (if (validFlags(i)) 1.0 else 0.0)) } ++
       samples.zipWithIndex.flatMap { case ((b8, k8, m8, b32, k32, m32), i) => Seq(
         s"scaling_build_sec_c8_run${i + 1}" -> b8,
         s"scaling_build_sec_c32_run${i + 1}" -> b32,
@@ -667,11 +695,12 @@ object Bench {
         s"scaling_membw_sec_c8_run${i + 1}" -> m8,
         s"scaling_membw_sec_c32_run${i + 1}" -> m32) } ++ Seq(
         "scaling_docs" -> scaleDocs.toDouble,
+        "scaling_valid_samples" -> validFlags.count(identity).toDouble,
         "scaling_eff_build_8to32" -> effBuild,
-        "scaling_kernel_eff_8to32" -> median(kernelEffSamples),
-        "scaling_membw_eff_8to32" -> median(membwEffSamples),
-        "scaling_eff_build_8to32_normalized" -> median(normSamples),
-        "scaling_eff_build_8to32_best_normalized" -> normSamples.max,
+        "scaling_kernel_eff_8to32" -> median(overValid(kernelEffSamples)),
+        "scaling_membw_eff_8to32" -> median(overValid(membwEffSamples)),
+        "scaling_eff_build_8to32_normalized" -> median(overValid(normSamples)),
+        "scaling_eff_build_8to32_best_normalized" -> overValid(normSamples).max,
         "scaling_eff_query_8to32" -> effQuery,
         "scaling_eff_query_8to32_normalized" ->
           (if (spinEff > 0) effQuery / spinEff else 0.0)) ++ compaction

@@ -38,8 +38,19 @@ object Analyzer {
   def distinctQueryTerms(query: String): Array[String] =
     queryTerms(query).distinct
 
-  /** Catalyst form of [[tokenize]]: array<string> of all tokens. */
-  def tokensCol(c: Column): Column =
+  /** Catalyst form of [[tokenize]]: array<string> of all tokens. Native
+    * one-pass byte scan (graft.functions.TokenRuns) over Spark's own
+    * `lower()` — the build's hottest pass; bitwise-identical to
+    * [[tokensColRegex]] (FunctionsSpec differential, TokenizeBench). */
+  def tokensCol(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.TokenRuns(
+      ColumnBridge.expression(lower(c))))
+  }
+
+  /** The regexp formulation — the semantics source and differential
+    * baseline for [[tokensCol]] (also what the DuckDB oracle restates). */
+  def tokensColRegex(c: Column): Column =
     regexp_extract_all(lower(c), lit(TokenPattern), lit(0))
 
   /** Catalyst form of doc length (all tokens). */

@@ -69,6 +69,8 @@ object GraftFunctions {
       "decode_postings", exprs => DecodePostings(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f32", exprs => CosineF32(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_runs", exprs => TokenRuns(exprs(0)), "built-in")
   }
 }
 
@@ -84,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
       (exprs: Seq[Expression]) => CosineF32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("token_runs"),
+      new ExpressionInfo(classOf[TokenRuns].getName, "token_runs"),
+      (exprs: Seq[Expression]) => TokenRuns(exprs(0))))
   }
 }
