@@ -26,6 +26,22 @@ object BigDiff {
     val index = new SearchIndex(spark, dir)
     val local = LocalSearcher.load(index)
 
+    // the same corpus through the full ingest LIFECYCLE: three straddled
+    // resume batches, a tail merge, then a full compaction — must answer
+    // every combo identically to the monolithic build
+    val dirL = "/tmp/graft-bigdiff/index-lifecycle"
+    val paramsL = IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+      fields = Seq("content", "path"))
+    import org.apache.spark.sql.functions.col
+    IndexBuilder.build(spark, corpus.filter(col("docId") < n / 3), dirL,
+      paramsL.copy(inputSnapshot = "b0"))
+    IndexBuilder.resume(spark, corpus.filter(col("docId") < 2 * n / 3), dirL,
+      paramsL.copy(inputSnapshot = "b1"))
+    IndexBuilder.resume(spark, corpus, dirL, paramsL.copy(inputSnapshot = "b2"))
+    graft.index.Compaction.compactTail(spark, dirL, maxSegments = 2)
+    graft.index.Compaction.compact(spark, dirL)
+    val indexL = new SearchIndex(spark, dirL)
+
     // oracle over the same docs
     val meta = index.docs
       .select("docId", "repo", "path", "qualityScore", "repoScore")
@@ -64,15 +80,18 @@ object BigDiff {
           .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
         val serv = LocalSearcher.search(local, q, opts)
           .map(h => (h.rank, h.docId, h.score))
-        if (dist != want || serv != want) {
+        val life = QueryEngine.search(indexL, q, opts).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+        if (dist != want || serv != want || life != want) {
           failures += 1
-          println(s"FAIL [$label] '$q'\n  oracle=$want\n  dist=$dist\n  serv=$serv")
+          println(s"FAIL [$label] '$q'\n  oracle=$want\n  dist=$dist\n  serv=$serv\n  lifecycle=$life")
         }
       }
       println(s"checked [$label]: ${queries.size} queries")
     }
     println(if (failures == 0)
-      s"BIGDIFF PASS: ${optsList.size * queries.size} query/config combos rank+score identical at n=$n"
+      s"BIGDIFF PASS: ${optsList.size * queries.size} query/config combos rank+score " +
+        s"identical at n=$n (exhaustive, WAND, serving, resume+compact lifecycle)"
     else s"BIGDIFF FAIL: $failures combos diverged")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -71,6 +71,8 @@ object GraftFunctions {
       "cosine_f32", exprs => CosineF32(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_runs", exprs => TokenRuns(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_postings", exprs => TokenPostings(exprs(0)), "built-in")
   }
 }
 
@@ -90,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_runs"),
       new ExpressionInfo(classOf[TokenRuns].getName, "token_runs"),
       (exprs: Seq[Expression]) => TokenRuns(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("token_postings"),
+      new ExpressionInfo(classOf[TokenPostings].getName, "token_postings"),
+      (exprs: Seq[Expression]) => TokenPostings(exprs(0))))
   }
 }

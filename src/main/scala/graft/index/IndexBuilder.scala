@@ -273,25 +273,59 @@ object IndexBuilder {
         .repartition(col("docGroup")).sortWithinPartitions("docId"),
       layout.docs, Seq("docGroup", "segment"))
 
+    // fail fast on docId collisions BEFORE the postings build (same audit
+    // refreshDerived repeats over the final tables): a duplicated id would
+    // interleave two documents' position streams inside one posting and
+    // surface as an opaque codec failure deep inside a task — audit here
+    // so the build dies with the actionable message instead. One agg job
+    // over the docs table's id column (refreshDerived pays the same scan).
+    locally {
+      val d = io.read(spark, layout.docs)
+        .agg(count(lit(1)).as("n"), countDistinct($"docId").as("nd"))
+        .collect()(0)
+      if (d.getLong(0) != d.getLong(1))
+        throw new IllegalStateException(
+          s"docId collision: ${d.getLong(0)} doc rows but ${d.getLong(1)} " +
+            "distinct docIds — supply dense ingest-assigned docIds " +
+            "(hash-derived ids collide at scale)")
+    }
+
     // ---- postings ----
-    val tokens = params.fields.map { f =>
+    // ONE shuffle of PACKED (doc, term) rows, not raw token occurrences: a
+    // doc lives in exactly one input partition, so its term -> ascending
+    // positions lists are complete map-side and the exchange carries one
+    // row per (field, term, doc) with an int-array payload — Σ
+    // distinct-terms-per-doc rows instead of Σ tf occurrence rows (the
+    // dominant shuffle volume at 100 TB; ~avg-tf× fewer, smaller-keyed
+    // rows for the external sort too). Hash-partitioned by (field, term,
+    // docGroup) — bounded by docGroupSize regardless of term df — then the
+    // in-partition sort and a streaming single-pass block builder over the
+    // executor-side re-expanded occurrences (O(blockSize) memory; emitted
+    // blocks are bitwise-unchanged — CompactionSpec fresh-build equality +
+    // every BM25 gate).
+    def tokenPostingsCol(c: Column): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.TokenPostings(
+        ColumnBridge.expression(c)))
+    }
+    val perDocTerm = params.fields.map { f =>
       docsDf.select($"docId", $"docGroup", col(s"dl_$f").as("dl"),
-          posexplode(col(s"tokens_$f")).as(Seq("pos", "term")))
-        .withColumn("field", lit(f))
+          explode(tokenPostingsCol(col(s"tokens_$f"))).as("tp"))
+        .select(lit(f).as("field"), $"tp.term".as("term"), $"docGroup",
+          $"docId", $"dl", $"tp.positions".as("positions"))
     }.reduce(_ unionByName _)
 
-    // ONE shuffle: hash-partition token occurrences by (field, term,
-    // docGroup) — bounded by docGroupSize regardless of term df — then an
-    // external sort within partitions and a streaming single-pass block
-    // builder (O(blockSize) memory; tf/positions/blocks computed together,
-    // no collect_list buffers).
     val blockSize = params.blockSize
-    val blocks: Dataset[BlockRow] = tokens
-      .select($"field", $"term", $"docGroup", $"docId", $"dl", $"pos")
+    val blocks: Dataset[BlockRow] = perDocTerm
       .repartition($"field", $"term", $"docGroup")
-      .sortWithinPartitions($"field", $"term", $"docGroup", $"docId", $"pos")
-      .as[(String, String, Long, Long, Int, Int)]
-      .mapPartitions(it => new BlockBuildIterator(it, blockSize))
+      .sortWithinPartitions($"field", $"term", $"docGroup", $"docId")
+      .as[(String, String, Long, Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val occurrences = it.flatMap { case (f, t, g, d, dl, ps) =>
+          ps.iterator.map(p => (f, t, g, d, dl, p))
+        }
+        new BlockBuildIterator(occurrences, blockSize)
+      }
 
     io.overwritePartitions(
       blocks.toDF()
