@@ -530,10 +530,12 @@ object Bench {
       println(s"BENCHSCALE $b8,$k8,$m8,$b32,$k32,$m32")
       return
     }
-    if (args.nonEmpty && args(0) == "compaction") { // dev: probe only
+    if (args.nonEmpty && args(0) == "compaction") { // probe child / dev mode
       val entries = compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
       println(entries.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}"))
+      println(entries.map { case (k, v) => s"$k=$v" }
+        .mkString("BENCHCOMPACT ", ",", ""))
       return
     }
     if (args.nonEmpty) { // child mode: one level, machine-readable line
@@ -604,7 +606,20 @@ object Bench {
     }
     val effBuild = median(overValid(effSamples))
     // force-merge cost/benefit at the streaming ingest cadence (8 batches)
-    val compaction = compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
+    // — in a fresh child JVM like every other measurement (the orchestrator
+    // JVM's heap/JIT state would contaminate the recorded p50s)
+    val compaction =
+      try childLine(Seq("compaction"), "BENCHCOMPACT ")
+        .stripPrefix("BENCHCOMPACT ").split(",").toSeq.map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> v.toDouble
+        }
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] compaction child failed (${e.getMessage}); running in-process")
+          compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
+      }
     val effQuery = (high.servingParQps / low.servingParQps) / 4.0
 
     val entries: Seq[(String, Double)] =

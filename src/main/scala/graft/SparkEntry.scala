@@ -112,7 +112,7 @@ object SparkEntry {
 
   /** Index built through the full ingest lifecycle — three straddled resume
     * batches (docId-range cuts, so interior docGroups really hold multiple
-    * segments) then a segment compaction — for the q59 gate: the
+    * segments) then a segment compaction — for the q63 gate: the
     * post-compaction index must answer the BM25 oracle identically to a
     * monolithic build (CompactionSpec proves bitwise table equality; the
     * gate proves it against the external DuckDB oracle). */

@@ -38,7 +38,7 @@ object BigDiff {
     IndexBuilder.resume(spark, corpus.filter(col("docId") < 2 * n / 3), dirL,
       paramsL.copy(inputSnapshot = "b1"))
     IndexBuilder.resume(spark, corpus, dirL, paramsL.copy(inputSnapshot = "b2"))
-    graft.index.Compaction.compactTail(spark, dirL, maxSegments = 2)
+    graft.index.Compaction.compactToBudget(spark, dirL, maxSegments = 2)
     graft.index.Compaction.compact(spark, dirL)
     val indexL = new SearchIndex(spark, dirL)
 

@@ -263,6 +263,25 @@ object IndexBuilder {
       .withColumn("qualityScore", params.qualityScoreCol())
       .withColumn("repoScore", params.repoScoreCol())
 
+    // fail fast on docId collisions BEFORE any write: a duplicated id would
+    // interleave two documents' position streams inside one posting and
+    // surface as an opaque codec failure deep inside a task. BATCH-scoped
+    // (cost proportional to the batch, column-pruned to docId): dense-id
+    // appends cannot collide with committed rows by construction
+    // (pendingRows keeps only docId > committed max per group), and the
+    // full-table audit in refreshDerived remains the backstop for the
+    // documented-unsupported hash-id append edge.
+    locally {
+      val d = docsDf
+        .agg(count(lit(1)).as("n"), countDistinct($"docId").as("nd"))
+        .collect()(0)
+      if (d.getLong(0) != d.getLong(1))
+        throw new IllegalStateException(
+          s"docId collision: ${d.getLong(0)} doc rows but ${d.getLong(1)} " +
+            "distinct docIds in this batch — supply dense ingest-assigned " +
+            "docIds (hash-derived ids collide at scale)")
+    }
+
     val metaCols = Seq("docId", "repo", "path", "lang") ++
       params.fields.map(f => s"dl_$f") ++
       Seq("sha256_computed", "shaOk", "qualityScore", "repoScore", "docGroup")
@@ -272,23 +291,6 @@ object IndexBuilder {
         .withColumn("segment", lit(segment))
         .repartition(col("docGroup")).sortWithinPartitions("docId"),
       layout.docs, Seq("docGroup", "segment"))
-
-    // fail fast on docId collisions BEFORE the postings build (same audit
-    // refreshDerived repeats over the final tables): a duplicated id would
-    // interleave two documents' position streams inside one posting and
-    // surface as an opaque codec failure deep inside a task — audit here
-    // so the build dies with the actionable message instead. One agg job
-    // over the docs table's id column (refreshDerived pays the same scan).
-    locally {
-      val d = io.read(spark, layout.docs)
-        .agg(count(lit(1)).as("n"), countDistinct($"docId").as("nd"))
-        .collect()(0)
-      if (d.getLong(0) != d.getLong(1))
-        throw new IllegalStateException(
-          s"docId collision: ${d.getLong(0)} doc rows but ${d.getLong(1)} " +
-            "distinct docIds — supply dense ingest-assigned docIds " +
-            "(hash-derived ids collide at scale)")
-    }
 
     // ---- postings ----
     // ONE shuffle of PACKED (doc, term) rows, not raw token occurrences: a
@@ -361,7 +363,9 @@ object IndexBuilder {
       .withColumn("postingsEmitted", coalesce($"p_", lit(0L)))
       .withColumn("bytesCompressed", coalesce($"b_", lit(0L)))
       .withColumn("mergeFanIn", coalesce($"f_", lit(0L)))
-      .select($"docGroup".as("partitionId"), lit("done").as("status"),
+      // cast: docGroup is the docs PARTITION column here, path-inferred as
+      // int for small values — lineage partitionId is long by contract
+      .select($"docGroup".cast("long").as("partitionId"), lit("done").as("status"),
         $"docs", $"maxDocId", $"postingsEmitted", $"bytesCompressed",
         $"mergeFanIn", $"shaOk", current_timestamp().as("updatedAt"),
         lit(segment).as("inputSnapshot"))

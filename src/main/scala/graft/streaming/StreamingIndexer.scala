@@ -31,10 +31,10 @@ object StreamingIndexer {
     * (dual-priority) never collide.
     *
     * `maxSegments` > 0 enables the tiered auto-merge: after a micro-batch
-    * leaves more than that many committed segments, the newest run is
-    * force-merged down to the budget (Compaction.compactTail) — the
-    * Lucene-merge-policy analog of the reference's single-shard/30s-refresh
-    * tuning. Crash-safe in both directions: compaction has its own marker
+    * leaves more than that many committed segments, the cheapest contiguous
+    * window is force-merged down to the budget (Compaction.compactToBudget,
+    * amortized-logarithmic rewrite cost) — the Lucene-merge-policy analog
+    * of the reference's single-shard/30s-refresh tuning. Crash-safe in both directions: compaction has its own marker
     * protocol, and a batch retried AFTER its segments were merged resumes
     * to zero pending rows (lineage carries the committed state forward). */
   def runAvailableNow(spark: SparkSession, inputDir: String, schema: StructType,
@@ -60,7 +60,7 @@ object StreamingIndexer {
           IndexBuilder.resume(spark, batch, indexDir,
             params.copy(inputSnapshot = s"$segmentPrefix-$epochId"))
           if (maxSegments > 0) {
-            graft.index.Compaction.compactTail(spark, indexDir, maxSegments,
+            graft.index.Compaction.compactToBudget(spark, indexDir, maxSegments,
               params.blockSize, params.io)
             ()
           }

@@ -63,7 +63,7 @@ class CompactionFuzzSpec extends AnyFunSuite {
       (0 until 1 + rng.nextInt(2)).foreach { _ =>
         val bs = 8 + rng.nextInt(40)
         if (rng.nextBoolean()) Compaction.compact(spark, dir, blockSize = bs)
-        else Compaction.compactTail(spark, dir,
+        else Compaction.compactToBudget(spark, dir,
           maxSegments = 1 + rng.nextInt(3), blockSize = bs)
       }
 

@@ -142,17 +142,61 @@ class CompactionSpec extends AnyFunSuite {
     assert(segmentsOf(dir2) == Set("snapshot-0", "snapshot-1", "snapshot-2"))
   }
 
-  test("compactTail merges the newest run down to the budget") {
+  test("compactToBudget merges the cheapest contiguous window down to the budget") {
     val dir = "/tmp/graft-test/compaction-tail"
     buildFragmented(dir, seed = 83L)
     val pre = searchAll(dir)
-    val r = Compaction.compactTail(spark, dir, maxSegments = 2, blockSize = 32)
-    assert(r.contains(Compaction.segmentName(Seq("snapshot-1", "snapshot-2"))),
-      "tail policy must pick the NEWEST contiguous run")
-    assert(segmentsOf(dir) == Set("snapshot-0", r.get))
-    assert(searchAll(dir) == pre, "tail merge changed query results")
-    assert(Compaction.compactTail(spark, dir, maxSegments = 2, blockSize = 32)
+    // the policy minimizes lineage bytesCompressed over contiguous windows
+    // (ingest order s0 < s1 < s2, so the candidates at budget 2 are
+    // {s0,s1} and {s1,s2}) — compute the expected pick from lineage
+    val bytes = spark.read.parquet(s"$dir/lineage")
+      .groupBy(col("inputSnapshot"))
+      .agg(org.apache.spark.sql.functions.sum(col("bytesCompressed")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Seq(Seq("snapshot-0", "snapshot-1"),
+        Seq("snapshot-1", "snapshot-2"))
+      .minBy(_.map(bytes).sum)
+    val r = Compaction.compactToBudget(spark, dir, maxSegments = 2, blockSize = 32)
+    assert(r.contains(Compaction.segmentName(expected)),
+      s"policy must pick the min-bytes contiguous window $expected")
+    val survivor = (Set("snapshot-0", "snapshot-1", "snapshot-2") -- expected).head
+    assert(segmentsOf(dir) == Set(survivor, r.get))
+    assert(searchAll(dir) == pre, "budget merge changed query results")
+    assert(Compaction.compactToBudget(spark, dir, maxSegments = 2, blockSize = 32)
       .isEmpty, "within-budget index must be a no-op")
+  }
+
+  test("compaction carries lineage timestamps forward (retention age survives the merge)") {
+    val dir = "/tmp/graft-test/compaction-age"
+    buildFragmented(dir, seed = 97L)
+    val pre = spark.read.parquet(s"$dir/lineage")
+      .groupBy(col("partitionId"))
+      .agg(org.apache.spark.sql.functions.max(col("updatedAt")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    Thread.sleep(1100)
+    assert(Compaction.compact(spark, dir, blockSize = 32).nonEmpty)
+    val post = spark.read.parquet(s"$dir/lineage")
+      .select(col("partitionId"), col("updatedAt"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(post == pre,
+      "merged lineage must inherit each group's newest constituent " +
+        "timestamp, not current_timestamp — retention would stop aging out")
+    // carry table is cleaned up after the swap
+    assert(!graft.io.ParquetTableIO.exists(spark, s"$dir/_compaction_carry"))
+  }
+
+  test("an empty pending marker (crash inside writeMarker) is swept, not a brick") {
+    val dir = "/tmp/graft-test/compaction-emptymarker"
+    buildFragmented(dir, seed = 101L)
+    val pre = searchAll(dir)
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_pending_compaction")
+    val fs = pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(pending, true).close() // zero bytes: died before the content write
+    assert(!Compaction.recoverPendingCompaction(spark, dir))
+    assert(!fs.exists(pending), "empty marker must be deleted")
+    assert(searchAll(dir) == pre)
+    // and a real compaction still proceeds afterwards
+    assert(Compaction.compact(spark, dir, blockSize = 32).nonEmpty)
   }
 
   test("pre-commit crash rolls back: old segments keep serving unchanged") {
