@@ -377,7 +377,21 @@ object IndexBuilder {
     * derived tables are always a pure function of the surviving segments.
     * Called after every build/resume and after Retention expiry. Audits
     * docId uniqueness (count vs countDistinct) and throws on collision
-    * before writing stats. */
+    * before writing stats.
+    *
+    * Cost note (scale): this is O(index METADATA) per call — the scans are
+    * column-pruned to block metadata (n/sumTf/maxTf/minDl, never `bytes`)
+    * and doc metadata (docId/shaOk/dl), so a micro-batch pays
+    * metadata-proportional, not data-proportional, work. Full re-derivation
+    * is what makes "resume == fresh build" BITWISE (df/totalTf/avgdl feed
+    * scores) and keeps the audit backstop; an Iceberg deployment would cut
+    * the residual per-batch cost with incremental snapshot-scoped
+    * derivation (old dictionary ⊎ new-segment aggregate — sums/max/min all
+    * combine exactly), at the price of a staged swap of the dictionary
+    * table and a non-combinable fan-in metric (a straddled append can
+    * touch groups a term already spans, so countDistinct(docGroup) cannot
+    * be merged from aggregates). Documented trade-off, not implemented
+    * here. */
   private[graft] def refreshDerived(spark: SparkSession, dir: String,
       io: TableIO = ParquetTableIO): Unit = {
     import spark.implicits._
