@@ -615,10 +615,13 @@ object Bench {
           k -> v.toDouble
         }
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[bench] compaction child failed (${e.getMessage}); running in-process")
-          compactionProbe(32, math.max(nDocs / 4, 5000L), seed)
+          // flagged in the artifact: these numbers came from the
+          // contaminated orchestrator JVM, not a clean child
+          compactionProbe(32, math.max(nDocs / 4, 5000L), seed) :+
+            ("compaction_in_process" -> 1.0)
       }
     val effQuery = (high.servingParQps / low.servingParQps) / 4.0
 

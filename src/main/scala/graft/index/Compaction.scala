@@ -179,10 +179,25 @@ object Compaction {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
     if (ordered.size <= maxSegments) return None
     val k = ordered.size - maxSegments + 1
-    val window = ordered.sliding(k)
-      .minBy(_.iterator.map(_._2).sum)
-      .map(_._1)
-    compactSegments(spark, dir, window, blockSize, io)
+    // windows in ascending cost; the contiguity precondition can reject a
+    // window when batch docIds were not globally monotone (dual-priority /
+    // out-of-order sources interleave segment ranges within a group), so
+    // fall through to the next-cheapest window instead of wedging the
+    // streaming auto-merge on a require that every retry re-hits. The
+    // rejection happens before any marker/write, so trying the next window
+    // is side-effect-free. No mergeable window -> None (budget deferred).
+    val windows = ordered.sliding(k).toSeq
+      .sortBy(w => (w.iterator.map(_._2).sum, w.headOption.getOrElse(("", 0L))._1))
+    windows.iterator
+      .map { w =>
+        try compactSegments(spark, dir, w.map(_._1), blockSize, io)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("contiguous") =>
+            None
+        }
+      }
+      .collectFirst { case Some(seg) => seg }
   }
 
   /** Crash recovery (see class doc). Returns true when a marker was found
@@ -196,10 +211,12 @@ object Compaction {
       // completed roll-forward that crashed between the two marker deletes
       // (pending is deleted FIRST precisely so this state is harmless) —
       // sweep it so it can never be mistaken for a live phase-2 by a LATER
-      // compaction's crash window; same for an orphan carry table (dropped
-      // last in roll-forward)
+      // compaction's crash window. An orphan CARRY table (crash between the
+      // final marker delete and the carry drop) is deliberately NOT swept
+      // here: it is inert — the next compaction's phase 1 overwrites it
+      // before any read — and sweeping would add a third fs.exists to every
+      // index open / micro-batch for disk residue only.
       if (fs.exists(commitPath(dir))) fs.delete(commitPath(dir), false)
-      io.drop(spark, carryDir(dir))
       return false
     }
     val in = fs.open(p)
@@ -312,15 +329,23 @@ object Compaction {
     val segPostings = io.read(spark, layout.postings)
       .filter($"segment" === newSeg)
     // merged rows inherit their group's NEWEST constituent timestamp from
-    // the phase-1 carry table (retention age must survive the merge); the
-    // current_timestamp fallback only fires on a recovery re-run that
-    // crashed after the carry was dropped — at which point the carried
-    // lineage row was already committed and this rewrite is idempotent
+    // the phase-1 carry table (retention age must survive the merge). By
+    // the marker protocol the carry ALWAYS exists here (written in phase 1,
+    // dropped only after both markers), so a missing carry means external
+    // interference — warn loudly and degrade to current_timestamp (which
+    // postpones, never loses, retention) rather than wedging every index
+    // open on an unrecoverable roll-forward.
     val carried =
       if (io.exists(spark, carryDir(dir)))
         io.read(spark, carryDir(dir)).withColumnRenamed("partitionId", "docGroup")
-      else segDocs.select($"docGroup").limit(0)
-        .withColumn("carriedAt", current_timestamp())
+      else {
+        System.err.println(
+          s"[graft] WARNING: compaction carry table missing during " +
+            s"roll-forward of $newSeg in $dir — merged lineage timestamps " +
+            "reset to now; retention of this data is postponed accordingly")
+        segDocs.select($"docGroup").limit(0)
+          .withColumn("carriedAt", current_timestamp())
+      }
     // same left-join-from-docs shape as the build: a group whose docs all
     // tokenized empty emits no postings but stays committed
     val lineage = segDocs.groupBy($"docGroup")

@@ -364,7 +364,11 @@ object IndexBuilder {
       .withColumn("bytesCompressed", coalesce($"b_", lit(0L)))
       .withColumn("mergeFanIn", coalesce($"f_", lit(0L)))
       // cast: docGroup is the docs PARTITION column here, path-inferred as
-      // int for small values — lineage partitionId is long by contract
+      // int for small values — lineage partitionId is long by contract.
+      // MIGRATION: an index whose lineage predates this contract stores
+      // int32 partitionId; appending long rows beside it gives mixed-width
+      // parquet files (flaky reads). Rewrite old lineage once
+      // (read.cast.overwrite) before resuming such an index.
       .select($"docGroup".cast("long").as("partitionId"), lit("done").as("status"),
         $"docs", $"maxDocId", $"postingsEmitted", $"bytesCompressed",
         $"mergeFanIn", $"shaOk", current_timestamp().as("updatedAt"),

@@ -166,6 +166,40 @@ class CompactionSpec extends AnyFunSuite {
       .isEmpty, "within-budget index must be a no-op")
   }
 
+  test("compactToBudget falls through to the next-cheapest contiguous window (non-monotone ingest)") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/compaction-nonmono"
+    // out-of-order file batches: b0 spans TWO disjoint id ranges (its
+    // global maxDocId is driven by the high range), b1/b2 fill the gap in
+    // group 0 — global ingest order (b1 < b2 < b0) then disagrees with
+    // group 0's range order (b0 < b1 < b2)
+    def docs(ids: Seq[Long], content: Long => String) = ids
+      .map(i => (i, s"r${i % 3}", s"p/$i", "sc", content(i)))
+      .toDF("docId", "repo", "path", "lang", "content")
+    val short = (i: Long) => s"alpha beta w$i"
+    val long = (i: Long) => (0 until 400).map(j => s"w${(i * 7 + j) % 900}").mkString(" ")
+    val params = IndexBuilder.Params(blockSize = 32, docGroupSize = 128L,
+      fields = Seq("content"))
+    IndexBuilder.build(spark, docs(0L until 10L, short) union docs(500L until 510L, short),
+      dir, params.copy(inputSnapshot = "b0"))
+    IndexBuilder.resume(spark, docs(10L until 20L, long), dir,
+      params.copy(inputSnapshot = "b1")) // heavy: most postings bytes
+    IndexBuilder.resume(spark, docs(20L until 30L, short), dir,
+      params.copy(inputSnapshot = "b2"))
+    def hits(d: String) = QueryEngine.search(new SearchIndex(spark, d),
+      "alpha beta", SearchOpts()).collect().map(_.toSeq).toSeq
+    val pre = hits(dir)
+    assert(pre.nonEmpty, "fixture query must match")
+    // cheapest window at budget 2 is {b2, b0} (both light), but it is
+    // non-contiguous in group 0 (b1's range sits between) — the policy
+    // must reject it and merge the next-cheapest {b1, b2} instead
+    val r = Compaction.compactToBudget(spark, dir, maxSegments = 2, blockSize = 32)
+    assert(r.contains(Compaction.segmentName(Seq("b1", "b2"))),
+      s"expected fallback to the contiguous window {b1,b2}, got $r")
+    assert(segmentsOf(dir) == Set("b0", r.get))
+    assert(hits(dir) == pre, "fallback merge changed query results")
+  }
+
   test("compaction carries lineage timestamps forward (retention age survives the merge)") {
     val dir = "/tmp/graft-test/compaction-age"
     buildFragmented(dir, seed = 97L)
