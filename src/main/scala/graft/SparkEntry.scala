@@ -497,10 +497,20 @@ object SparkEntry {
       Dedup.simhashPairs(fps, "doc_id", maxDist = 6, bits = 20)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
     }),
-    "q24_ngram_pairs" -> ((s, d) =>
-      // maxShingleDf exercises the hot-shingle skew guard through the gate
-      Dedup.ngramJaccardPairs(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(50))),
+    "q24_ngram_pairs" -> ((s, d) => {
+      // maxShingleDf exercises the hot-shingle skew guard through the gate.
+      // Planted near-dup twins (doc_id + 1e9, same text + a short tail) make
+      // the gate compare NON-EMPTY pair sets at every SF — the round-3 gate
+      // corpus had no organic Jaccard pairs >= 0.5, so the gate only proved
+      // schema (VERDICT r3 "What's wrong" #3).
+      val base = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(col("text"), lit(" graft twin probe tail")).as("text"))
+      Dedup.ngramJaccardPairs(base.unionByName(twins),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(50))
+    }),
     "q25_langid" -> ((s, d) =>
       TextAnalysis.langId(s, t(s, d, "documents"), "doc_id", "text")),
     "q26_quality" -> ((s, d) =>
@@ -1348,7 +1358,11 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
         FROM fps a JOIN fps b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 6""",
     "q24_ngram_pairs" ->
-      s"""WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      s"""WITH sample AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000000, text || ' graft twin probe tail'
+          FROM documents WHERE doc_id % 100 = 0),
         ptoks AS (
           SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
           FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM sample)),
