@@ -290,6 +290,25 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q64_preview" -> ((s, d) => {
+      // T22 full preview cascade incl. the best-scoring-sentence arm
+      // (enhanced_search_service.py:13-83). Inputs synthesized per doc_id
+      // so every arm fires: long description (>300 -> sentence-boundary
+      // truncation), short description (returned whole), 'short' (skipped,
+      // len<=30), NULL, structured-description arm, and the query-relevant
+      // argmax over '.'-sentences (periods planted via replace).
+      val chunk = expr("replace(text, ' merge ', '. ')")
+      val desc = when(col("doc_id") % 6 === 0, substring(chunk, 1, 400))
+        .when(col("doc_id") % 6 === 3, substring(col("text"), 1, 120))
+        .when(col("doc_id") % 6 === 5, lit(null).cast("string"))
+        .when(col("doc_id") % 3 === 1, lit("short"))
+        .otherwise(lit(""))
+      val sdesc = when(col("doc_id") % 5 === 0, substring(col("text"), 30, 180))
+        .otherwise(lit(""))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.TextPipeline.createPreview(desc, sdesc, chunk,
+          lit("data spark window")).as("preview"))
+    }),
     "q62_highlight" -> ((s, d) => {
       // T21: excerpt window around the first term hit (ellipses), first-300
       // fallback when absent — term varies per doc_id to hit all arms
@@ -1180,6 +1199,90 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       k = 10, boost = 1.5, phraseBoost = 2.0),
     "q61_lifecycle" ->
       bm25Sql(Seq("python", "merge", "join"), 9, diversity = true),
+    "q64_preview" -> {
+      // _truncate_smartly restated inline (no DuckDB macros in a single
+      // SELECT): <=300 pass-through, else hard cut + ellipsis
+      def ts(x: String) =
+        s"CASE WHEN length($x) <= 300 THEN $x ELSE substr($x, 1, 297) || '...' END"
+      s"""WITH base AS (
+        SELECT doc_id, text, replace(text, ' merge ', '. ') AS chunk
+        FROM documents),
+      arms AS (
+        SELECT doc_id, chunk,
+          trim(CASE WHEN doc_id % 6 = 0 THEN substr(chunk, 1, 400)
+               WHEN doc_id % 6 = 3 THEN substr(text, 1, 120)
+               WHEN doc_id % 6 = 5 THEN NULL
+               WHEN doc_id % 3 = 1 THEN 'short'
+               ELSE '' END) AS d,
+          trim(CASE WHEN doc_id % 5 = 0 THEN substr(text, 30, 180)
+               ELSE '' END) AS sd
+        FROM base),
+      armed AS (
+        SELECT *, CASE WHEN d IS NOT NULL AND length(d) > 30 THEN 1
+                       WHEN length(sd) > 50 THEN 2
+                       ELSE 3 END AS arm
+        FROM arms),
+      -- arm 1: sentence-boundary truncation with BREAK semantics — include
+      -- the maximal '.'-sentence prefix where each step keeps the running
+      -- preview under 290 chars (prefix sums + first-failure cut)
+      sent1 AS (
+        SELECT doc_id, generate_subscripts(parts, 1) AS i, unnest(parts) AS s
+        FROM (SELECT doc_id, string_split(d, '.') AS parts
+              FROM armed WHERE arm = 1)),
+      run1 AS (
+        SELECT doc_id, i, s,
+          COALESCE(SUM(length(s) + 1) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevlen
+        FROM sent1),
+      cut1 AS (
+        SELECT doc_id,
+          MIN(CASE WHEN prevlen + length(s) >= 290 THEN i END) AS cut
+        FROM run1 GROUP BY doc_id),
+      prev1 AS (
+        SELECT r.doc_id, string_agg(r.s || '.', '' ORDER BY r.i) AS preview
+        FROM run1 r LEFT JOIN cut1 c USING (doc_id)
+        WHERE c.cut IS NULL OR r.i < c.cut
+        GROUP BY r.doc_id),
+      arm1 AS (
+        SELECT a.doc_id,
+          CASE WHEN length(a.d) <= 300 THEN a.d
+               ELSE COALESCE(p.preview, '') ||
+                 CASE WHEN length(a.d) > length(COALESCE(p.preview, ''))
+                      THEN '...' ELSE '' END END AS preview
+        FROM armed a LEFT JOIN prev1 p USING (doc_id) WHERE a.arm = 1),
+      arm2 AS (
+        SELECT doc_id, ${ts("sd")} AS preview FROM armed WHERE arm = 2),
+      -- arm 3: earliest strictly-best sentence by query-term containment
+      -- (query 'data spark window'; stripped sentences < 20 chars skipped)
+      sent3 AS (
+        SELECT doc_id, i, trim(s) AS s FROM (
+          SELECT doc_id, generate_subscripts(parts, 1) AS i,
+                 unnest(parts) AS s
+          FROM (SELECT doc_id, string_split(chunk, '.') AS parts
+                FROM armed WHERE arm = 3))),
+      scored AS (
+        SELECT doc_id, i, s,
+          CASE WHEN length(s) < 20 THEN 0 ELSE
+            (CASE WHEN contains(lower(s), 'data') THEN 1 ELSE 0 END +
+             CASE WHEN contains(lower(s), 'spark') THEN 1 ELSE 0 END +
+             CASE WHEN contains(lower(s), 'window') THEN 1 ELSE 0 END)
+          END AS score
+        FROM sent3),
+      best3 AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, s, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, i ASC) AS rk
+          FROM scored) WHERE rk = 1 AND score > 0),
+      arm3 AS (
+        SELECT a.doc_id,
+          CASE WHEN a.chunk IS NULL OR length(a.chunk) = 0 THEN ''
+               WHEN b.s IS NOT NULL THEN ${ts("b.s || '.'")}
+               ELSE ${ts("a.chunk")} END AS preview
+        FROM armed a LEFT JOIN best3 b USING (doc_id) WHERE a.arm = 3)
+      SELECT doc_id, preview FROM arm1
+      UNION ALL SELECT doc_id, preview FROM arm2
+      UNION ALL SELECT doc_id, preview FROM arm3"""
+    },
     "q62_highlight" ->
       """WITH h AS (
         SELECT doc_id, text,

@@ -43,12 +43,31 @@ import org.apache.spark.sql.functions._
   * build/resume (`IndexBuilder.resume`) and before expiry/compaction —
   * one fs.exists in the common no-marker case.
   *
+  * CONCURRENCY CONTRACT (single writer): the marker protocol makes a crash
+  * of THE writer recoverable; it does not serialize concurrent writers, and
+  * the plain-parquet TableIO gives readers no snapshot isolation — a reader
+  * mid-scan during rollForward can observe deleted replaced-segment files,
+  * and two processes opening the index concurrently could both run
+  * recoverPendingCompaction and race on the same deletes. Exactly one
+  * process may mutate an index directory at a time (StreamingIndexer's
+  * foreachBatch already serializes ingest, expiry and auto-merge on one
+  * driver); concurrent READERS during mutation additionally require the
+  * Iceberg TableIO, whose snapshot commits give them an immutable view —
+  * with plain parquet, pause mutation or query a different index copy.
+  *
   * Queries are invariant under compaction by construction: df/tf/dl/avgdl
   * and the global block order (firstDocId — segments of a group hold
   * disjoint monotone docId ranges) are all preserved, so BM25 scores are
   * bit-identical; only block PACKING (and with it block-max metadata and
   * nBlocks) changes, which WAND treats as opaque bounds.
   */
+/** Thrown by [[Compaction.compactSegments]] when the chosen segments do not
+  * form a contiguous run of some docGroup's segment order — a TYPED
+  * rejection so policy code (compactToBudget's window fallback) can catch
+  * exactly this precondition and never swallow an unrelated failure. */
+final class NonContiguousRunException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object Compaction {
 
   private def pendingPath(dir: String) =
@@ -118,7 +137,7 @@ object Compaction {
       .agg((max(col("rk")) - min(col("rk")) + 1).as("span"),
         count(lit(1)).as("cnt"))
       .filter(col("span") =!= col("cnt")).count()
-    require(gaps == 0L,
+    if (gaps != 0L) throw new NonContiguousRunException(
       s"chosen segments are not a contiguous run in $gaps docGroup(s) — " +
         "merging them would interleave an unmerged segment's docId range")
 
@@ -183,7 +202,7 @@ object Compaction {
     // window when batch docIds were not globally monotone (dual-priority /
     // out-of-order sources interleave segment ranges within a group), so
     // fall through to the next-cheapest window instead of wedging the
-    // streaming auto-merge on a require that every retry re-hits. The
+    // streaming auto-merge on a rejection that every retry re-hits. The
     // rejection happens before any marker/write, so trying the next window
     // is side-effect-free. No mergeable window -> None (budget deferred).
     val windows = ordered.sliding(k).toSeq
@@ -191,11 +210,7 @@ object Compaction {
     windows.iterator
       .map { w =>
         try compactSegments(spark, dir, w.map(_._1), blockSize, io)
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("contiguous") =>
-            None
-        }
+        catch { case _: NonContiguousRunException => None }
       }
       .collectFirst { case Some(seg) => seg }
   }

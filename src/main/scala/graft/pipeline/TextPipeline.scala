@@ -307,6 +307,67 @@ object TextPipeline {
         lit("...")))
   }
 
+  /** T22 smart truncation (enhanced_search_service.py:52-56): word-agnostic
+    * hard cut at maxLen-3 + ellipsis. */
+  def truncateSmartly(text: Column, maxLen: Int = 300): Column =
+    when(length(text) <= maxLen, text)
+      .otherwise(concat(substring(text, 1, maxLen - 3), lit("...")))
+
+  /** T22 sentence-boundary truncation (enhanced_search_service.py:33-46):
+    * accumulate '.'-sentences while the preview stays under maxLen-10,
+    * STOPPING at the first miss (the reference breaks out of its loop, so a
+    * later short sentence can never sneak past a long one). */
+  def truncateAtSentence(text: Column, maxLen: Int = 300): Column = {
+    val z = struct(lit("").as("p"), lit(false).as("stop"))
+    val preview = aggregate(split(text, "\\."), z,
+      (a, s) => when(!a("stop") && (length(a("p")) + length(s) < maxLen - 10),
+        struct(concat(a("p"), s, lit(".")).as("p"), lit(false).as("stop")))
+        .otherwise(struct(a("p").as("p"), lit(true).as("stop"))),
+      a => a("p"))
+    when(length(text) <= maxLen, text)
+      .otherwise(concat(preview,
+        when(length(text) > length(preview), lit("...")).otherwise(lit(""))))
+  }
+
+  /** T22 query-relevant arm (enhanced_search_service.py:58-83): pick the
+    * EARLIEST '.'-sentence with the strictly-highest query-term hit count —
+    * substring containment of each (possibly repeated) whitespace-split
+    * query term against the stripped, lowercased sentence; sentences under
+    * 20 chars are skipped — then smart-truncate it; no scoring sentence (or
+    * no query terms) falls back to smart truncation of the whole content. */
+  def queryRelevantPreview(content: Column, query: Column,
+      maxLen: Int = 300): Column = {
+    val qterms = filter(split(lower(coalesce(query, lit(""))), "\\s+"),
+      t => length(t) > 0)
+    val z = struct(lit(0).as("score"), lit("").as("sent"))
+    val best = aggregate(split(content, "\\."), z,
+      (a, s0) => {
+        val s = trim(s0)
+        val sc = when(length(s) < 20, lit(0))
+          .otherwise(size(filter(qterms, t => contains(lower(s), t))))
+        when(sc > a("score"), struct(sc.as("score"), s.as("sent")))
+          .otherwise(struct(a("score").as("score"), a("sent").as("sent")))
+      },
+      a => a("sent"))
+    when(content.isNull || length(content) === 0, lit(""))
+      .when(size(qterms) === 0, truncateSmartly(content, maxLen))
+      .when(length(best) > 0, truncateSmartly(concat(best, lit(".")), maxLen))
+      .otherwise(truncateSmartly(content, maxLen))
+  }
+
+  /** T22 preview cascade (enhanced_search_service.py:13-31): description
+    * (stripped len > 30) truncated at sentence boundary, else structured
+    * description (stripped len > 50) truncated smartly, else the
+    * query-relevant best-scoring-sentence arm over the text chunk. */
+  def createPreview(description: Column, structDesc: Column, textChunk: Column,
+      query: Column, maxLen: Int = 300): Column = {
+    val d = trim(description)
+    val sd = trim(structDesc)
+    when(d.isNotNull && length(d) > 30, truncateAtSentence(d, maxLen))
+      .when(sd.isNotNull && length(sd) > 50, truncateSmartly(sd, maxLen))
+      .otherwise(queryRelevantPreview(textChunk, query, maxLen))
+  }
+
   /** T23 semantic metrics (optimized.rs:460-488): word/sentence/paragraph
     * counts, reading time, avg sentence length, content density. */
   def semanticMetrics(df: DataFrame, id: String, text: String): DataFrame = {

@@ -38,7 +38,8 @@ object LocalSearcher {
     * every shard computes bit-identical scores); the DICTIONARY is not
     * loaded at all — query-term dfs are served by [[dfs]]'s bounded hot
     * cache over the tlen-partitioned table. */
-  final class LocalIndex(index: SearchIndex, shard: Option[(Int, Int)] = None) {
+  final class LocalIndex(index: SearchIndex, shard: Option[(Int, Int)] = None,
+      blockCacheBytes: Long = Long.MaxValue) {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     private def shardFilter(c: org.apache.spark.sql.Column) = shard match {
       case Some((i, n)) => pmod(c, lit(n.toLong)) === i.toLong
@@ -98,14 +99,34 @@ object LocalSearcher {
       (hits.collect { case (k, Some(v)) => k -> v } ++
         misses.flatMap(k => probed.get(k).map(k -> _))).toMap
     }
-    /** (field, term) -> blocks ordered by (docGroup, firstDocId) — segments
+    /** Posting blocks, served from a BYTE-BUDGETED hot cache keyed by
+      * (field, term), blocks ordered by (docGroup, firstDocId) — segments
       * of an incrementally-grown group restart blockIdx, so firstDocId is
-      * the global within-group order. */
-    val blocks: Map[(String, String), Array[BlockRow]] = {
+      * the global within-group order. The round-3 residency gap: a shard
+      * used to load ALL its blocks at open, so its memory was bounded only
+      * by adding shards; now a node holds at most `blockCacheBytes` of
+      * compressed postings (LRU, default unbounded = the old resident
+      * posture after warm-up), misses are fetched in ONE probe per query
+      * (the postings files are sorted by (field, term) within each
+      * partition, so parquet row-group stats skip non-matching groups), and
+      * ABSENT terms cache as empty arrays so unknown-term queries don't
+      * re-probe. Eviction can never corrupt an in-flight query: the fetched
+      * arrays stay referenced by the query's own map; eviction only drops
+      * the cache's reference. */
+    private val blockCache =
+      new _root_.java.util.LinkedHashMap[(String, String), Array[BlockRow]](16, 0.75f, true)
+    private var blockCacheBytesUsed = 0L
+    def residentBlockBytes: Long = blockCache.synchronized(blockCacheBytesUsed)
+    def residentBlockTerms: Int = blockCache.synchronized(blockCache.size())
+
+    private def fetchBlocks(keys: Seq[(String, String)]): Map[(String, String), Array[BlockRow]] = {
       val sp = index.spark
       import sp.implicits._
+      val fields = keys.map(_._1).distinct
+      val terms = keys.map(_._2).distinct
       index.postings
-        .filter(shardFilter(col("docGroup")))
+        .filter(shardFilter(col("docGroup")) &&
+          col("field").isin(fields: _*) && col("term").isin(terms: _*))
         .select(col("field"), col("term"), col("docGroup").cast("long").as("docGroup"),
           col("blockIdx"), col("firstDocId"), col("lastDocId"), col("n"),
           col("sumTf"), col("maxTf"), col("minTf"), col("minDl"), col("maxDl"),
@@ -115,6 +136,47 @@ object LocalSearcher {
         .groupBy(b => (b.field, b.term))
         .view.mapValues(_.sortBy(b => (b.docGroup, b.firstDocId, b.blockIdx))).toMap
     }
+
+    def blocksOf(keys: Seq[(String, String)]): Map[(String, String), Array[BlockRow]] = {
+      val (hits, misses) = blockCache.synchronized {
+        val h = Seq.newBuilder[((String, String), Array[BlockRow])]
+        val m = Seq.newBuilder[(String, String)]
+        keys.foreach { k =>
+          if (blockCache.containsKey(k)) h += k -> blockCache.get(k)
+          else m += k
+        }
+        (h.result(), m.result())
+      }
+      val fetched =
+        if (misses.isEmpty) Map.empty[(String, String), Array[BlockRow]]
+        else {
+          val p = fetchBlocks(misses)
+          val entries = misses.map(k => k -> p.getOrElse(k, Array.empty[BlockRow]))
+          blockCache.synchronized {
+            entries.foreach { case (k, v) =>
+              val prev = blockCache.put(k, v)
+              blockCacheBytesUsed +=
+                v.iterator.map(_.bytes.length.toLong).sum -
+                  (if (prev == null) 0L
+                   else prev.iterator.map(_.bytes.length.toLong).sum)
+            }
+            // evict eldest until under budget — never below the entries a
+            // single query needs (they are already referenced by `entries`)
+            val it = blockCache.entrySet().iterator()
+            while (blockCacheBytesUsed > blockCacheBytes && it.hasNext) {
+              val e = it.next()
+              blockCacheBytesUsed -= e.getValue.iterator.map(_.bytes.length.toLong).sum
+              it.remove()
+            }
+          }
+          entries.toMap
+        }
+      hits.toMap ++ fetched
+    }
+
+    /** Single-key convenience for probes/tests. */
+    def blocksFor(field: String, term: String): Array[BlockRow] =
+      blocksOf(Seq((field, term))).getOrElse((field, term), Array.empty)
     val docs: Map[Long, DocMeta] =
       index.docs
         .filter(shardFilter(col("docGroup")))
@@ -124,7 +186,8 @@ object LocalSearcher {
           r.getString(3), r.getDouble(4), r.getDouble(5))).toMap
   }
 
-  def load(index: SearchIndex): LocalIndex = new LocalIndex(index)
+  def load(index: SearchIndex, blockCacheBytes: Long = Long.MaxValue): LocalIndex =
+    new LocalIndex(index, None, blockCacheBytes)
 
   /** The multi-node serving topology in miniature: `n` shards, each
     * holding only its docGroups (loaded partition-pruned). A query fans
@@ -171,7 +234,8 @@ object LocalSearcher {
 
     val m = opts.k * opts.overfetch
     val heap = new QueryEngine.BoundedTopK(m)
-    val allBlocks = dfs.keys.toSeq.flatMap(k => li.blocks.getOrElse(k, Array.empty[BlockRow]))
+    val blockMap = li.blocksOf(dfs.keys.toSeq)
+    val allBlocks = dfs.keys.toSeq.flatMap(k => blockMap.getOrElse(k, Array.empty[BlockRow]))
     val onDecode: () => Unit = () => { li.decodeCount.incrementAndGet(); () }
     allBlocks.groupBy(_.docGroup).toSeq.sortBy(_._1).foreach { case (_, grp) =>
       QueryEngine.scoreGroup(grp, weights, avgdls, opts.bm25, heap, phraseOn,

@@ -289,10 +289,19 @@ class CompactionSpec extends AnyFunSuite {
     val segs = segmentsOf(dir).toSeq.sorted
     val newSeg = Compaction.segmentName(segs)
 
-    // full phase 1 + commit marker, then "crash" before any phase-2 work
+    // expected carried timestamps: per-group NEWEST constituent updatedAt
+    val preCarry = spark.read.parquet(s"$dir/lineage")
+      .groupBy(col("partitionId"))
+      .agg(max(col("updatedAt")).as("carriedAt"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+
+    // full phase 1 (marker + CARRY + segment — the real crash state always
+    // has the carry table present) + commit marker, then "crash" before any
+    // phase-2 work
     val pending = new org.apache.hadoop.fs.Path(s"$dir/_pending_compaction")
     val commit = new org.apache.hadoop.fs.Path(s"$dir/_compaction_commit")
     Compaction.writeMarker(spark, pending, (newSeg +: segs).mkString("\n"))
+    Compaction.writeCarry(spark, dir, segs, graft.io.ParquetTableIO)
     Compaction.writeCompactedSegment(spark, dir, segs, newSeg, 32,
       graft.io.ParquetTableIO)
     Compaction.writeMarker(spark, commit, newSeg)
@@ -304,5 +313,15 @@ class CompactionSpec extends AnyFunSuite {
       "markers must be cleared by roll-forward")
     assert(segmentsOf(dir) == Set(newSeg), "old segments survived roll-forward")
     assert(post == pre, "roll-forward changed query results")
+    // roll-forward THROUGH RECOVERY must consume the carry: merged lineage
+    // keeps each group's newest constituent timestamp (retention age
+    // survives the crash), rather than resetting to recovery time
+    val postLineage = spark.read.parquet(s"$dir/lineage")
+      .select(col("partitionId"), col("updatedAt"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(postLineage == preCarry,
+      "recovered lineage must carry constituent timestamps, not reset them")
+    assert(!graft.io.ParquetTableIO.exists(spark, s"$dir/_compaction_carry"),
+      "carry table must be dropped after roll-forward")
   }
 }

@@ -84,7 +84,7 @@ class LocalSpec extends AnyFunSuite {
     IndexBuilder.build(spark, docs, dir,
       IndexBuilder.Params(blockSize = 64, docGroupSize = 4096L))
     val li = LocalSearcher.load(new SearchIndex(spark, dir))
-    val totalBlocks = li.blocks.getOrElse(("content", "needle"), Array.empty).length
+    val totalBlocks = li.blocksFor("content", "needle").length
     assert(totalBlocks > 10, s"expected many blocks, got $totalBlocks")
 
     li.decodeCount.set(0L)
@@ -100,6 +100,32 @@ class LocalSpec extends AnyFunSuite {
       SearchOpts(k = 10, overfetch = 3, diversity = false, wand = false))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(hits.map(h => (h.rank, h.docId, h.score)) == dist)
+  }
+
+  test("byte-budgeted block cache: identity under constant eviction + bounded footprint") {
+    // a budget far below the index's postings bytes forces eviction on
+    // every query; results must stay identical to the unbounded image and
+    // the resident footprint must respect the cap
+    val budget = 16 * 1024L
+    val capped = LocalSearcher.load(index, blockCacheBytes = budget)
+    for {
+      opts <- Seq(SearchOpts(k = 10),
+        SearchOpts(k = 10, fields = Seq("content" -> 1.5, "path" -> 2.5),
+          phraseBoost = 2.0))
+      q <- queries
+    } {
+      val a = LocalSearcher.search(capped, q, opts)
+      val b = LocalSearcher.search(local, q, opts)
+      assert(a == b, s"budgeted serving diverged on '$q' ($opts)")
+      assert(capped.residentBlockBytes <= budget,
+        s"cache over budget: ${capped.residentBlockBytes} > $budget")
+    }
+    // repeat pass: still identical (evicted terms re-fetch correctly)
+    queries.foreach { q =>
+      assert(LocalSearcher.search(capped, q, SearchOpts(k = 10)) ==
+        LocalSearcher.search(local, q, SearchOpts(k = 10)))
+    }
+    assert(capped.residentBlockTerms > 0)
   }
 
   test("serving-mode latency is reference-class (sub-20ms once warm)") {
