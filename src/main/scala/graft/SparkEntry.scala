@@ -290,6 +290,26 @@ object SparkEntry {
           round(col("chunk_score"), 6).as("chunk_score"), col("domain"),
           col("lang"), col("n_chars"), col("word_count"))
     }),
+    "q65_langdetect" -> ((s, d) => {
+      // F1 reference ladder (language_detector.rs:33-130): URL arms (en
+      // subdomain / known-domain containment / path / TLD — and a non-en
+      // subdomain that must FALL THROUGH), lang= attribute arm, and the
+      // confidence-thresholded content arm (conf = top marker hits / total
+      // > 0.7; for this ASCII corpus only 'the' hits, so docs whose first
+      // 1000 chars lack it yield null — falsifiable both ways)
+      import graft.ops.TextAnalysis
+      val url = when(col("doc_id") % 7 === 0, lit("https://en.docs.xyz/a"))
+        .when(col("doc_id") % 7 === 1, lit("https://de.docs.xyz/a"))
+        .when(col("doc_id") % 7 === 2, lit("https://blog.github.xyz/a"))
+        .when(col("doc_id") % 7 === 3, lit("https://docs.xyz/en/a"))
+        .when(col("doc_id") % 7 === 4, lit("https://docs.example.com/a"))
+        .otherwise(lit("https://docs.xyz/x"))
+      val text2 = when(col("doc_id") % 7 === 5,
+        concat(lit("<html lang=\"fr\"> "), col("text"))).otherwise(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.detectLanguage(text2, url).as("lang"),
+        TextAnalysis.isEnglish(text2, url).as("is_en"))
+    }),
     "q64_preview" -> ((s, d) => {
       // T22 full preview cascade incl. the best-scoring-sentence arm
       // (enhanced_search_service.py:13-83). Inputs synthesized per doc_id
@@ -1199,6 +1219,77 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
       k = 10, boost = 1.5, phraseBoost = 2.0),
     "q61_lifecycle" ->
       bm25Sql(Seq("python", "merge", "join"), 9, diversity = true),
+    "q65_langdetect" -> {
+      val langsAsc = graft.ops.TextAnalysis.LatinMarkers.map(_._1)
+      val hitCols = graft.ops.TextAnalysis.LatinMarkers.map { case (l, ms) =>
+        val list = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$list], t))) AS h_$l"
+      }.mkString(",\n          ")
+      val mx = s"greatest(${langsAsc.map(l => s"h_$l").mkString(", ")})"
+      val firstMax = langsAsc.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH base AS (
+        SELECT doc_id, text,
+          CASE WHEN doc_id % 7 = 5 THEN '<html lang="fr"> ' || text
+               ELSE text END AS text2,
+          CASE WHEN doc_id % 7 = 0 THEN 'https://en.docs.xyz/a'
+               WHEN doc_id % 7 = 1 THEN 'https://de.docs.xyz/a'
+               WHEN doc_id % 7 = 2 THEN 'https://blog.github.xyz/a'
+               WHEN doc_id % 7 = 3 THEN 'https://docs.xyz/en/a'
+               WHEN doc_id % 7 = 4 THEN 'https://docs.example.com/a'
+               ELSE 'https://docs.xyz/x' END AS url
+        FROM documents),
+      -- URL arm verdict (en / non-en / null) in the reference's order
+      urlv AS (
+        SELECT *, CASE
+          WHEN starts_with(dom, 'en.') OR starts_with(dom, 'english.') THEN 'en'
+          WHEN starts_with(dom, 'de.') OR starts_with(dom, 'es.')
+            OR starts_with(dom, 'fr.') THEN 'non-en'
+          WHEN contains(dom, 'github') OR contains(dom, 'google')
+            OR contains(dom, 'wikipedia') THEN 'en'
+          WHEN contains(pth, '/en/') OR contains(pth, '/english/') THEN 'en'
+          WHEN contains(pth, '/de/') OR contains(pth, '/es/')
+            OR contains(pth, '/fr/') THEN 'non-en'
+          WHEN list_contains(['com','org','net','edu','gov','www','en'],
+            dom_tld) THEN 'en'
+          ELSE NULL END AS url_lang
+        FROM (SELECT *,
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dom,
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)) AS pth,
+          list_extract(string_split(lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '.'), -1) AS dom_tld
+          FROM base)),
+      -- lang= attribute arm (first occurrence, 2-char code)
+      attr AS (
+        SELECT *, CASE WHEN length(lv) >= 2 THEN lower(substr(lv, 1, 2))
+                       ELSE NULL END AS attr_lang
+        FROM (SELECT *, regexp_extract(text2, 'lang="([^"]*)', 1) AS lv
+              FROM urlv)),
+      -- content arm: clean (drop http words, first 1000 chars), tokenize on
+      -- non-letters, marker scoring, conf = top/total > 0.7
+      content AS (
+        SELECT doc_id, $hitCols
+        FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(substr(array_to_string(
+            list_filter(string_split_regex(text2, '\\s+'),
+              w -> len(w) > 0 AND NOT starts_with(w, 'http://')
+                   AND NOT starts_with(w, 'https://')), ' '), 1, 1000)),
+            '[^\\p{L}]+'), t -> len(t) > 0) AS toks
+          FROM attr)),
+      scoredc AS (
+        SELECT doc_id,
+          CASE WHEN tot > 0 AND CAST(mx AS DOUBLE) / tot > 0.7
+               THEN (CASE $firstMax END) ELSE NULL END AS content_lang
+        FROM (SELECT doc_id, $mx AS mx,
+                (${langsAsc.map(l => s"h_$l").mkString(" + ")}) AS tot, *
+              FROM content)),
+      final AS (
+        SELECT a.doc_id,
+          CASE WHEN length(trim(a.text2)) = 0 THEN NULL
+               WHEN a.url_lang = 'en' THEN 'en'
+               ELSE COALESCE(a.attr_lang, c.content_lang) END AS lang
+        FROM attr a JOIN scoredc c USING (doc_id))
+      SELECT doc_id, lang, COALESCE(lang = 'en', false) AS is_en FROM final"""
+    },
     "q64_preview" -> {
       // _truncate_smartly restated inline (no DuckDB macros in a single
       // SELECT): <=300 pass-through, else hard cut + ellipsis

@@ -43,6 +43,136 @@ object TextAnalysis {
         round(col("score"), 6).as("confidence"))
   }
 
+  // ------------------------------------------------- F1 reference ladder
+  // The reference's FastLanguageDetector (language_detector.rs:30-232):
+  // URL arm first (only an "en" verdict short-circuits), then the html
+  // lang= attribute, then confidence-thresholded content detection. The
+  // whatlang trigram model is replaced by a deterministic two-stage
+  // heuristic — script-ratio arms for ru/ja/ko/zh, marker-word scoring for
+  // the Latin six — with the reference's confidence > 0.7 acceptance
+  // threshold. All pure column expressions (SQL-oracled, gate q65).
+
+  /** language_detector.rs:7-16 ENGLISH_DOMAINS (TLD arm). */
+  val EnglishTlds: Seq[String] = Seq("com", "org", "net", "edu", "gov",
+    "mil", "int", "us", "uk", "ca", "au", "nz", "ie", "za", "www", "en",
+    "english")
+
+  /** language_detector.rs:18-27 ENGLISH_DOMAIN_NAMES (contains arm). */
+  val EnglishDomainNames: Seq[String] = Seq("google", "facebook", "twitter",
+    "youtube", "reddit", "stackoverflow", "github", "microsoft", "apple",
+    "amazon", "wikipedia", "linkedin", "instagram", "netflix", "spotify",
+    "dropbox", "slack", "zoom", "techcrunch", "engadget", "theverge",
+    "wired", "ars-technica", "hacker-news", "medium", "substack",
+    "wordpress", "blogspot")
+
+  private val NonEnglishSubdomains = Seq("es.", "de.", "fr.", "it.", "pt.",
+    "ru.", "zh.", "ja.", "ko.", "ar.", "hi.", "nl.", "pl.", "sv.", "da.",
+    "no.", "fi.")
+  private val NonEnglishPaths = Seq("/de/", "/es/", "/fr/", "/it/", "/pt/",
+    "/ru/", "/zh/", "/ja/", "/ko/", "/deutsch/", "/espanol/", "/francais/",
+    "/italiano/", "/portuguese/")
+
+  /** URL arm (language_detector.rs:73-130): "en", "non-en", or null —
+    * exactly the reference's decision ladder and order. */
+  def urlLanguage(url: Column): Column = {
+    val domain = lower(regexp_extract(coalesce(url, lit("")),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    val path = lower(regexp_extract(coalesce(url, lit("")),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
+    val tld = element_at(split(domain, "\\."), -1)
+    when(domain === "", lit(null).cast("string"))
+      .when(domain.startsWith("en.") || domain.startsWith("english."), "en")
+      .when(NonEnglishSubdomains.map(domain.startsWith(_): Column)
+        .reduce(_ || _), "non-en")
+      .when(EnglishDomainNames.map(domain.contains(_): Column)
+        .reduce(_ || _), "en")
+      .when(path.contains("/en/") || path.contains("/english/"), "en")
+      .when(NonEnglishPaths.map(path.contains(_): Column).reduce(_ || _), "non-en")
+      .when(tld.isin(EnglishTlds: _*), "en")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** html lang= attribute arm (language_detector.rs:134-156): value of the
+    * FIRST `lang=` occurrence (quoted either way or bare), first two chars
+    * lowercased; null when absent or shorter than 2 chars. */
+  def htmlLangAttr(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val dq = regexp_extract(t, "(?s)lang=\"([^\"]*)", 1)
+    val sq = regexp_extract(t, "(?s)lang='([^']*)", 1)
+    val bare = regexp_extract(t, "(?s)lang=([^\\s>\"']+)", 1)
+    // reproduce "the FIRST lang= decides the quoting style": pick the
+    // variant whose match position is earliest
+    val pdq = when(dq =!= "", instr(t, "lang=\"")).otherwise(lit(Int.MaxValue))
+    val psq = when(sq =!= "", instr(t, "lang='")).otherwise(lit(Int.MaxValue))
+    val pbare = locate("lang=", t)
+    val v = when(pdq <= psq && pdq <= pbare, dq)
+      .when(psq <= pbare, sq)
+      .otherwise(bare)
+    when(length(v) >= 2, lower(substring(v, 1, 2)))
+  }
+
+  /** Marker sets for the Latin-script six (the whatlang stand-in). */
+  val LatinMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "that", "it", "with"),
+    "es" -> Seq("el", "que", "los", "las", "una", "por", "como", "pero"),
+    "fr" -> Seq("le", "les", "est", "dans", "pour", "qui", "pas", "vous"),
+    "it" -> Seq("che", "di", "il", "sono", "con", "della", "anche", "questo"),
+    "pt" -> Seq("uma", "para", "com", "mais", "isso", "não", "os", "são"))
+
+  /** Content arm (language_detector.rs:158-216): clean (strip tags, drop
+    * http(s) words, first 1000 chars), then script-ratio arms for
+    * ko/ja/zh/ru and marker scoring for the Latin six; accept only when
+    * confidence (top hits / total marker hits) exceeds the reference's 0.7
+    * threshold, else null. */
+  def contentLanguage(text: Column): Column = {
+    val noTags = regexp_replace(coalesce(text, lit("")), "(?s)<[^>]*>", " ")
+    val words = filter(split(noTags, "\\s+"), w =>
+      length(w) > 0 && !w.startsWith("http://") && !w.startsWith("https://"))
+    val s = substring(array_join(words, " "), 1, 1000)
+    def charCount(re: String): Column =
+      length(s) - length(regexp_replace(s, re, ""))
+    val nonSpace = charCount("[^ ]")
+    val hangul = charCount("[\\uAC00-\\uD7AF]")
+    val kana = charCount("[\\u3040-\\u30FF]")
+    val han = charCount("[\\u4E00-\\u9FFF]")
+    val cyr = charCount("[\\u0400-\\u04FF]")
+    // marker scoring: per-occurrence hit counts, earliest-max by lang asc
+    val toks = filter(split(lower(s), "[^\\p{L}]+"), t => length(t) > 0)
+    val hits = LatinMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val total = hits.map(_._2).reduce(_ + _)
+    val pairs = array(hits.map { case (l, h) =>
+      struct(h.as("h"), lit(l).as("lang")) }: _*)
+    val best = aggregate(pairs, struct(lit(-1).as("h"), lit("").as("lang")),
+      (a, x) => when(x("h") > a("h"), x).otherwise(a))
+    val conf = best("h").cast("double") / total
+    when(nonSpace === 0, lit(null).cast("string"))
+      .when(hangul.cast("double") / nonSpace > 0.3, "ko")
+      .when(kana.cast("double") / nonSpace > 0.3, "ja")
+      .when((han + kana).cast("double") / nonSpace > 0.3, "zh")
+      .when(cyr.cast("double") / nonSpace > 0.3, "ru")
+      .when(total > 0 && conf > 0.7, best("lang"))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** F1 detect_language (language_detector.rs:33-55): empty text -> null;
+    * a URL "en" verdict short-circuits (a "non-en" one does NOT — the
+    * reference discards it and falls through); then the html lang=
+    * attribute verbatim; then the content arm. */
+  def detectLanguage(text: Column, url: Column): Column =
+    when(length(trim(coalesce(text, lit("")))) === 0, lit(null).cast("string"))
+      .when(urlLanguage(url) === "en", "en")
+      .otherwise(coalesce(htmlLangAttr(text), contentLanguage(text)))
+
+  /** F1 is_english (language_detector.rs:58-70): empty text falls back to
+    * the URL arm alone. */
+  def isEnglish(text: Column, url: Column): Column =
+    when(length(trim(coalesce(text, lit("")))) === 0,
+      coalesce(urlLanguage(url) === "en", lit(false)))
+      .otherwise(coalesce(detectLanguage(text, url) === "en", lit(false)))
+
   /** Quality scoring: length/stopword/uniqueness factors -> 0..100 score
     * (the reference's fast QA score shape, run_quality_analysis.py:139-179).
     * Returns (id, word_count, uniq_ratio, stop_ratio, quality). */

@@ -220,31 +220,72 @@ object HtmlExtract {
         h => innerText(h)),
       h => length(h) > 0)
 
-  /** F3: drop noise nodes (script/style/nav/header/footer/aside/form/
-    * iframe/noscript + comments) — main_content_extractor.rs:43-97's
-    * unwanted-selector list. */
+  /** F3: drop noise nodes — the reference's FULL skip-tag list
+    * (main_content_extractor.rs:49-56: script style noscript nav header
+    * footer aside menu menuitem figure figcaption button input select
+    * textarea form iframe), comments, and elements whose class/id CONTAINS
+    * one of the noise markers (main_content_extractor.rs:58-71 — substring
+    * containment like the reference, so e.g. class="header-wrap" is
+    * dropped too). Void tags (input) vanish in the later tag strip. */
   def stripNoise(html: Column): Column = {
     val noBlocks = regexp_replace(html,
-      "(?is)<(script|style|noscript|nav|header|footer|aside|form|iframe)[^>]*>.*?</\\1>", " ")
-    regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+      "(?is)<(script|style|noscript|nav|header|footer|aside|menu|menuitem|" +
+        "figure|figcaption|button|select|textarea|form|iframe)[^>]*>.*?</\\1>", " ")
+    val noClassNoise = regexp_replace(noBlocks,
+      """(?is)<([a-z][a-z0-9]*)[^>]*(?:class|id)\s*=\s*["'][^"']*(?:nav|menu|sidebar|footer|header|ad|popup|banner)[^"']*["'][^>]*>.*?</\1>""",
+      " ")
+    regexp_replace(noClassNoise, "(?s)<!--.*?-->", " ")
   }
 
-  /** F4 main-content selector cascade (main_content_extractor.rs:8-41
-    * priority order): <main> -> <article> -> role=main -> id/class
-    * containing "content" -> <body> -> whole document; then F3 noise strip
-    * and tag strip. Returns plain text. */
+  /** The reference's 16 priority selectors, IN ORDER
+    * (main_content_extractor.rs:10-15): tag, class (whitespace-token
+    * match, as a CSS .class selector), id (exact, as #id), and
+    * [role='main']. */
+  private val ContentSelectors: Seq[(String, String)] = Seq(
+    "tag" -> "main", "tag" -> "article", "class" -> "content",
+    "class" -> "post-content", "class" -> "entry-content",
+    "id" -> "content", "class" -> "article-body", "class" -> "post-body",
+    "class" -> "article-text", "role" -> "main", "class" -> "main-content",
+    "class" -> "page-content", "class" -> "content-wrapper",
+    "class" -> "story-content", "class" -> "article-wrapper",
+    "class" -> "text-content")
+
+  /** First match's inner content for one selector (regex approximation of
+    * query_selector().next(): lazy match to the element's first close
+    * tag — see the class-doc nesting caveat). */
+  private def selectorInner(clean: Column, kind: String, value: String): Column = {
+    val v = java.util.regex.Pattern.quote(value)
+    kind match {
+      case "tag" =>
+        regexp_extract(clean, s"(?is)<$v(?:\\s[^>]*)?>(.*?)</$v>", 1)
+      case "class" => // CSS class selector: whitespace-token containment
+        regexp_extract(clean,
+          s"""(?is)<([a-z][a-z0-9]*)[^>]*class\\s*=\\s*["'](?:[^"']*\\s)?$v(?:\\s[^"']*)?["'][^>]*>(.*?)</\\1>""", 2)
+      case "id" => // #id: exact id match
+        regexp_extract(clean,
+          s"""(?is)<([a-z][a-z0-9]*)[^>]*id\\s*=\\s*["']$v["'][^>]*>(.*?)</\\1>""", 2)
+      case "role" =>
+        regexp_extract(clean,
+          s"""(?is)<([a-z][a-z0-9]*)[^>]*role\\s*=\\s*["']$v["'][^>]*>(.*?)</\\1>""", 2)
+    }
+  }
+
+  /** F4 main-content extraction (main_content_extractor.rs:8-41): try all
+    * 16 priority selectors IN ORDER and APPEND every first-match whose
+    * clean text exceeds 50 chars (the reference accumulates across
+    * selectors — a page with both <main> and <article> contributes both);
+    * fall back to <body> when nothing qualified, then to the whole
+    * document. F3 noise strip + tag strip throughout. Returns plain
+    * text. */
   def mainText(html: Column): Column = {
     val clean = stripNoise(html)
-    val main = regexp_extract(clean, "(?is)<main[^>]*>(.*?)</main>", 1)
-    val article = regexp_extract(clean, "(?is)<article[^>]*>(.*?)</article>", 1)
-    val roleMain = regexp_extract(clean,
-      """(?is)<([a-z]+)[^>]*role\s*=\s*["']main["'][^>]*>(.*?)</\1>""", 2)
-    val contentDiv = regexp_extract(clean,
-      """(?is)<div[^>]*(?:id|class)\s*=\s*["'][^"']*content[^"']*["'][^>]*>(.*?)</div>""", 1)
+    val arms = ContentSelectors.map { case (kind, v) =>
+      val t = innerText(selectorInner(clean, kind, v))
+      when(length(t) > 50, t).otherwise(lit(""))
+    }
+    val appended = nullIfEmpty(concat_ws(" ", arms: _*))
     val body = regexp_extract(clean, "(?is)<body[^>]*>(.*?)</body>", 1)
-    innerText(coalesce(
-      nullIfEmpty(main), nullIfEmpty(article), nullIfEmpty(roleMain),
-      nullIfEmpty(contentDiv), nullIfEmpty(body), clean))
+    innerText(coalesce(appended, nullIfEmpty(body), clean))
   }
 
   /** Cheap HTML sniff — gates the extraction cascade so plain-text corpora

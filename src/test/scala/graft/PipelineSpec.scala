@@ -229,6 +229,91 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "Body fallback text")
   }
 
+  test("F4 full 16-selector parity: append-all across selectors, >50 gate, class-token match") {
+    import graft.pipeline.HtmlExtract
+    val pad = "x " * 30 // pushes arm text past the reference's 50-char gate
+    // the reference APPENDS every qualifying selector's first match
+    // (main_content_extractor.rs:18-28) — <main> AND <article> AND
+    // .post-content all contribute, in selector-priority order
+    val html = s"""<html><body>
+      |<main>Main arm content $pad</main>
+      |<article>Article arm content $pad</article>
+      |<div class="wrap post-content extra">Post arm content $pad</div>
+      |<div class="tiny post-body">short</div>
+      |</body></html>""".stripMargin
+    val m = Seq(html).toDF("h").select(HtmlExtract.mainText($"h"))
+      .collect()(0).getString(0)
+    val iMain = m.indexOf("Main arm content")
+    val iArt = m.indexOf("Article arm content")
+    val iPost = m.indexOf("Post arm content")
+    assert(iMain >= 0 && iArt >= 0 && iPost >= 0,
+      s"all qualifying selector arms must be appended, got: $m")
+    assert(iMain < iArt && iArt < iPost, "selector priority order lost")
+    assert(!m.contains("short"), "sub-50-char arm must not contribute")
+
+    // .class is a TOKEN match ('content' must not match class='content-x'),
+    // #content is exact, [role='main'] works on any tag
+    val tokenHtml = s"""<html><body>
+      |<div class="content-x">Wrong token $pad</div>
+      |<div id="content">Id arm content $pad</div>
+      |<section role="main">Role arm content $pad</section>
+      |</body></html>""".stripMargin
+    val m2 = Seq(tokenHtml).toDF("h").select(HtmlExtract.mainText($"h"))
+      .collect()(0).getString(0)
+    assert(m2.contains("Id arm content") && m2.contains("Role arm content"))
+    assert(!m2.startsWith("Wrong token"),
+      "class token match must not treat 'content-x' as .content")
+
+    // class/id CONTAINS-based noise removal (reference's substring check):
+    // class="top-header-wrap" is dropped even though the tag is a div
+    val noiseHtml = s"""<html><body>
+      |<div class="top-header-wrap">chrome junk</div>
+      |<main>Real body content $pad</main>
+      |</body></html>""".stripMargin
+    val m3 = Seq(noiseHtml).toDF("h").select(HtmlExtract.mainText($"h"))
+      .collect()(0).getString(0)
+    assert(m3.contains("Real body content") && !m3.contains("chrome junk"))
+  }
+
+  test("F1 reference ladder: URL arms, lang= attribute, confidence-thresholded content") {
+    import graft.ops.TextAnalysis._
+    def det(text: String, url: String): Option[String] =
+      Option(Seq((text, url)).toDF("t", "u")
+        .select(detectLanguage($"t", $"u")).collect()(0).getString(0))
+    val prose = "the cat and the dog is of note that it runs with the wind " * 3
+    // URL arm: only an "en" verdict short-circuits …
+    assert(det(prose, "https://en.example.xyz/page") == Some("en"))
+    assert(det("der die und ist das nicht ein mit " * 4,
+      "https://de.example.xyz/") == Some("de"),
+      "a non-en URL verdict must fall through to content detection")
+    assert(det(prose, "https://news.github.io/x") == Some("en"),   // contains github
+      "ENGLISH_DOMAIN_NAMES containment arm")
+    assert(det(prose, "https://example.xyz/en/docs") == Some("en"), "path arm")
+    assert(det(prose, "https://example.com/") == Some("en"), "TLD arm")
+    // … lang= attribute beats content …
+    assert(det("<html lang=\"fr-FR\"><body>the the the</body></html>",
+      "https://example.xyz/") == Some("fr"))
+    assert(det("<p lang=pt>x</p> irrelevant", "https://example.xyz/") == Some("pt"),
+      "bare (unquoted) lang attribute arm")
+    // … content arm with the 0.7 confidence threshold …
+    assert(det("el que los las una por como pero " * 4,
+      "https://example.xyz/") == Some("es"))
+    assert(det("le les est dans pour qui pas vous " * 4,
+      "https://example.xyz/") == Some("fr"))
+    assert(det("the and is el que los der und " * 4,
+      "https://example.xyz/") == None,
+      "mixed markers below 0.7 confidence must yield null like whatlang's reject")
+    // … script-ratio arms and the empty-text arm
+    assert(det("привет это русский текст для проверки",
+      "https://example.xyz/") == Some("ru"))
+    assert(det("   ", "https://en.example.xyz/") == None,
+      "empty text is None regardless of URL (detect_language:35-37)")
+    // is_english: empty text falls back to the URL arm alone
+    val eng = Seq(("", "https://en.example.xyz/"), ("", "https://example.xyz/"))
+      .toDF("t", "u").select(isEnglish($"t", $"u")).collect().map(_.getBoolean(0))
+    assert(eng.toSeq == Seq(true, false))
+  }
+
   test("sentence chunker respects max size + emits indexed chunks (T12)") {
     val text = (1 to 100).map(i => s"Sentence number $i is right here.").mkString(" ")
     val chunks = TextPipeline.sentenceChunks(
