@@ -66,7 +66,8 @@ object Bench {
       skewedBlockSkipRatio: Double = 0, exhaustiveMeanSec: Double = 0,
       wandMeanSec: Double = 0, servingDictResidentTerms: Double = 0,
       skewedRefBlockSkip: Double = 0, servingChunkP50Ms: Double = 0,
-      servingChunkP95Ms: Double = 0, servingBlockCacheBytes: Double = 0)
+      servingChunkP95Ms: Double = 0, servingBlockCacheBytes: Double = 0,
+      fuzzyDpRows: Double = 0, fuzzyDpRowsUnfiltered: Double = 0)
 
   /** Block-skip probe on a tf-SKEWED corpus (the reference-query corpus is
     * deliberately tf-flat, where block maxima are all alike and block-level
@@ -271,6 +272,19 @@ object Bench {
         if (cpus >= 32) chunkServingProbe(spark, math.min(50000L, nDocs), seed)
         else (0.0, 0.0)
 
+      // fuzzy-expansion DP cost: dictionary rows that reach the levenshtein
+      // DP for the reference-query term set, with vs without the pigeonhole
+      // segment prefilter (the tlen band alone) — the candidate-row counter
+      // the scale story needs (a tlen band of a 10^9-term vocabulary is
+      // still millions of terms)
+      val fuzzyTerms = ReferenceQueries
+        .flatMap(q => graft.core.Analyzer.distinctQueryTerms(q)).distinct
+      val fuzzyDp = QueryEngine
+        .fuzzyCandidates(index, fuzzyTerms, Seq("content")).count().toDouble
+      val fuzzyDpAll = QueryEngine
+        .fuzzyCandidates(index, fuzzyTerms, Seq("content"), prefilter = false)
+        .count().toDouble
+
       // WAND vs exhaustive on the SAME hot index (exhaustive = the
       // differential baseline: full decode + groupByKey shuffle per query)
       def meanLat(o: SearchOpts): Double = {
@@ -321,7 +335,8 @@ object Bench {
         blocksDecodedPerQuery, blocksTermTotalPerQuery,
         servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery,
         skewSkip, exhaustiveMean, wandMean, dictResident, skewRefSkip,
-        chunkP50, chunkP95, li.residentBlockBytes.toDouble)
+        chunkP50, chunkP95, li.residentBlockBytes.toDouble,
+        fuzzyDp, fuzzyDpAll)
     } finally spark.stop()
   }
 
@@ -508,17 +523,18 @@ object Bench {
       r.servingDocsScoredPerQuery, r.postingsTermTotalPerQuery,
       r.skewedBlockSkipRatio, r.exhaustiveMeanSec, r.wandMeanSec,
       r.servingDictResidentTerms, r.skewedRefBlockSkip,
-      r.servingChunkP50Ms, r.servingChunkP95Ms, r.servingBlockCacheBytes) ++
+      r.servingChunkP50Ms, r.servingChunkP95Ms, r.servingBlockCacheBytes,
+      r.fuzzyDpRows, r.fuzzyDpRowsUnfiltered) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(28).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(30).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
       xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16), xs(17),
       xs(18), xs(19), xs(20), xs(21), xs(22), xs(23), xs(24), xs(25), xs(26),
-      xs(27))
+      xs(27), xs(28), xs(29))
   }
 
   /** Spawn `graft.Bench <args>` in a child JVM and return its marked output
@@ -593,6 +609,7 @@ object Bench {
     "serving_blocks_resident_frac_c32",
     "wand_vs_exhaustive_speedup", "wand_block_skip_ratio",
     "serving_wand_skip_ratio", "skewed_refquery_block_skip_ratio",
+    "fuzzy_prefilter_reduction",
     "compression_ratio", "cpu_spin_eff_8to32",
     "scaling_docs", "scaling_valid_samples", "scaling_pairs_total",
     "scaling_eff_build_8to32", "scaling_kernel_eff_8to32",
@@ -808,6 +825,13 @@ object Bench {
         // (CorpusGen.rowSkewed): block-level skips on realistic term
         // distributions, not just the synthetic single-term probe above
         "skewed_refquery_block_skip_ratio" -> high.skewedRefBlockSkip,
+        // fuzzy expansion: dictionary rows entering the levenshtein DP for
+        // the reference-query term set, with the pigeonhole segment
+        // prefilter vs the tlen band alone
+        "fuzzy_dp_rows_c32" -> high.fuzzyDpRows,
+        "fuzzy_dp_rows_unfiltered_c32" -> high.fuzzyDpRowsUnfiltered,
+        "fuzzy_prefilter_reduction" -> (if (high.fuzzyDpRows > 0)
+          high.fuzzyDpRowsUnfiltered / high.fuzzyDpRows else 0.0),
         // same hot index, same queries: the differential baseline's cost
         "query_mean_sec_exhaustive_c32" -> high.exhaustiveMeanSec,
         "query_mean_sec_wand_c32" -> high.wandMeanSec,

@@ -2,7 +2,7 @@ package graft.query
 
 import graft.core.Analyzer
 import graft.index.{BlockRow, Codec, IndexBuilder}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -141,32 +141,71 @@ object QueryEngine {
       "qualityScore", "repoScore")
   }
 
+  /** Lucene AUTO edit-distance budget: 0 for len<3, 1 for 3-5, 2 for >=6. */
+  private def autoMaxD(t: String): Int =
+    if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+
+  /** Pigeonhole segments for edit distance d (the PassJoin partition
+    * scheme, Li/Deng/Feng, VLDB'12): split t into d+1 contiguous pieces of
+    * near-equal length. ed(s,t) <= d implies s contains at least one piece
+    * VERBATIM — d edits can touch at most d of the d+1 pieces. */
+  private[graft] def pigeonholeSegments(t: String, d: Int): Seq[String] = {
+    val n = d + 1
+    val base = t.length / n
+    val rem = t.length % n
+    val lens = Seq.tabulate(n)(i => base + (if (i < rem) 1 else 0))
+    lens.scanLeft(0)(_ + _).zip(lens).collect {
+      case (off, l) if l > 0 => t.substring(off, off + l)
+    }
+  }
+
+  /** The banded candidate set a fuzzy probe runs levenshtein over:
+    * tlen-partition-pruned, field-filtered and — by default — pigeonhole-
+    * prefiltered (`term` must contain one of each query term's d+1
+    * segments; a necessary condition for edit distance, so the expansion
+    * result is provably unchanged). Substring containment is a codegen'd
+    * byte scan; levenshtein is an O(|s|·|t|) DP table — at a 10^9-term
+    * vocabulary a tlen band is still millions of terms, and this is the
+    * difference between running the DP on all of them and on the few that
+    * share a segment. Exposed so PlanSpec and Bench can count the rows
+    * entering levenshtein with and without the prefilter. */
+  def fuzzyCandidates(index: SearchIndex, terms: Seq[String],
+      fields: Seq[String], prefilter: Boolean = true): DataFrame = {
+    val lens: Seq[Any] = terms
+      .flatMap(t => (t.length - autoMaxD(t)) to (t.length + autoMaxD(t)))
+      .filter(_ >= 1).distinct
+    val cond = terms.map { t =>
+      val band = abs(col("tlen") - t.length) <= autoMaxD(t)
+      if (!prefilter) band
+      else band && pigeonholeSegments(t, autoMaxD(t))
+        .map(col("term").contains(_): Column).reduce(_ || _)
+    }.reduce(_ || _)
+    index.dictionary
+      .filter(col("tlen").isin(lens: _*)) // partition pruning on tlen
+      .filter(col("field").isin(fields: _*)).filter(cond)
+  }
+
   /** Fuzziness AUTO term expansion (R4 `fuzziness: AUTO`,
-    * opensearch_service.py:209; Lucene AUTO = edit distance 0 for len<3,
-    * 1 for 3-5, 2 for >=6): expand each query term to dictionary terms
-    * within its edit-distance budget.
+    * opensearch_service.py:209): expand each query term to dictionary
+    * terms within its edit-distance budget.
     *
     * Scale shape: the dictionary is PARTITIONED by tlen = length(term)
     * (IndexBuilder), and |len(cand) - len(t)| <= maxD is an exact necessary
-    * condition for edit distance — so the tlen isin below is a
-    * partition-pruned probe over O(matching length bands), never a scan of
-    * a 10^9-term vocabulary. levenshtein runs only inside the pruned bands.
+    * condition for edit distance — so the probe is partition-pruned to
+    * O(matching length bands), never a scan of a 10^9-term vocabulary; the
+    * pigeonhole segment prefilter (fuzzyCandidates) then bounds how many
+    * banded terms reach the levenshtein DP.
     * Returns distinct expanded terms (original terms included). */
   def fuzzyExpand(index: SearchIndex, query: String,
       fields: Seq[String] = Seq("content")): Seq[String] = {
     val terms = Analyzer.distinctQueryTerms(query)
     if (terms.isEmpty) return Seq.empty
-    def maxD(t: String): Int = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
-    val lens: Seq[Any] = terms
-      .flatMap(t => (t.length - maxD(t)) to (t.length + maxD(t)))
-      .filter(_ >= 1).distinct.toSeq
-    val cond = terms.map { t =>
-      abs(col("tlen") - t.length) <= maxD(t) &&
-        levenshtein(col("term"), lit(t)) <= maxD(t)
+    val lev = terms.map { t =>
+      abs(col("tlen") - t.length) <= autoMaxD(t) &&
+        levenshtein(col("term"), lit(t)) <= autoMaxD(t)
     }.reduce(_ || _)
-    val expanded = index.dictionary
-      .filter(col("tlen").isin(lens: _*)) // partition pruning on tlen
-      .filter(col("field").isin(fields: _*)).filter(cond)
+    val expanded = fuzzyCandidates(index, terms.toSeq, fields)
+      .filter(lev)
       .select("term").distinct().collect().map(_.getString(0)).toSeq
     (terms.toSeq ++ expanded).distinct
   }

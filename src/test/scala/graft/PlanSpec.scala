@@ -69,6 +69,55 @@ class PlanSpec extends AnyFunSuite {
     assert(expanded.contains("python"), s"got $expanded")
   }
 
+  test("fuzzy pigeonhole prefilter: fewer rows reach the levenshtein DP, expansion unchanged") {
+    import org.apache.spark.sql.functions._
+    val terms = Seq("pythn", "tutorial")
+    val pre = QueryEngine.fuzzyCandidates(index, terms, Seq("content"))
+    val all = QueryEngine.fuzzyCandidates(index, terms, Seq("content"),
+      prefilter = false)
+    val (nPre, nAll) = (pre.count(), all.count())
+    assert(nPre < nAll, s"prefilter did not shrink the DP set: $nPre vs $nAll")
+    // the prefilter must stay a pure NECESSARY condition: levenshtein over
+    // the raw banded set yields the identical expansion
+    def maxD(t: String) = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+    val lev = terms.map(t => abs(col("tlen") - t.length) <= maxD(t) &&
+      levenshtein(col("term"), lit(t)) <= maxD(t)).reduce(_ || _)
+    def expand(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.filter(lev).select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(expand(pre) == expand(all),
+      "pigeonhole prefilter changed the fuzzy expansion")
+    // plan: tlen pruning survives AND the Contains prefilter is in the plan
+    val plan = planOf(pre)
+    assert(plan.contains("Contains("),
+      s"pigeonhole Contains missing from the plan:\n${plan.take(3000)}")
+    assert(plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString.contains("tlen"),
+      s"tlen pruning lost with the prefilter:\n${plan.take(3000)}")
+  }
+
+  test("pigeonhole segments: every string within ed<=d contains a segment verbatim") {
+    // deterministic brute-force check of the PassJoin necessity bound:
+    // all single/double edits (delete, substitute, insert) of sample terms
+    val alphabet = "abz"
+    def edits1(s: String): Seq[String] = {
+      val del = s.indices.map(i => s.take(i) + s.drop(i + 1))
+      val sub = for (i <- s.indices; c <- alphabet) yield s.take(i) + c + s.drop(i + 1)
+      val ins = for (i <- 0 to s.length; c <- alphabet) yield s.take(i) + c + s.drop(i)
+      del ++ sub ++ ins
+    }
+    for (t <- Seq("python", "tutorial", "abc", "spark")) {
+      val d = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+      val segs = QueryEngine.pigeonholeSegments(t, d)
+      assert(segs.mkString == t, s"segments must tile $t, got $segs")
+      val neighbors =
+        if (d >= 2) edits1(t).flatMap(edits1).distinct else edits1(t).distinct
+      neighbors.foreach { s =>
+        assert(segs.exists(s.contains),
+          s"ed<=$d neighbor '$s' of '$t' contains no segment of $segs")
+      }
+    }
+  }
+
   test("fallback wildcard arm is guarded: above the doc cap the plan has no substring scan") {
     // guard closed (cap 0): the plan must not contain the path Contains
     // filter — only the indexed (postings) arm runs
