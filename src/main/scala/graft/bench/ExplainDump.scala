@@ -36,12 +36,15 @@ object ExplainDump {
       .filter(col("field") === "content" && col("term").isin("python", "tutorial"))
       .select("field", "term", "df")
     // the probe fuzzyExpand issues: tlen (the dictionary's partition key)
-    // must appear in PartitionFilters — pruned dirs, not a data filter
-    val fuzzy = index.dictionary
-      .filter(col("tlen").isin(5, 6, 7))
-      .filter(col("field") === "content" &&
-        levenshtein(col("term"), lit("pythn")) <= 1)
-      .select("term")
+    // must appear in PartitionFilters — pruned dirs, not a data filter —
+    // and the pigeonhole Contains prefilter must guard the levenshtein DP
+    val fTerms = Seq("pythn", "tutorial")
+    def maxD(t: String) = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+    val lev = fTerms.map(t =>
+      abs(col("tlen") - t.length) <= maxD(t) &&
+        levenshtein(col("term"), lit(t)) <= maxD(t)).reduce(_ || _)
+    val fuzzy = QueryEngine.fuzzyCandidates(index, fTerms, Seq("content"))
+      .filter(lev).select("term")
 
     // chunk->document merge: both joins broadcast the <=k-row PAGE into the
     // big tables — a chunk search never shuffles the chunk/document tables
@@ -89,7 +92,11 @@ object ExplainDump {
        |   predicates;
        |6. fuzzy expansion's dictionary probe prunes on the tlen PARTITION
        |   key (`PartitionFilters`) — levenshtein runs only inside the
-       |   matching length bands, never over the whole vocabulary;
+       |   matching length bands, never over the whole vocabulary — and the
+       |   pigeonhole segment prefilter (a necessary condition for edit
+       |   distance) is PUSHED INTO THE SCAN as `StringContains` parquet
+       |   filters, so inside a band the levenshtein DP runs only on terms
+       |   sharing a segment;
        |7. the chunk->document merge broadcasts the <=k-row hit PAGE into
        |   the big tables twice (`BroadcastHashJoin`) — a chunk search never
        |   shuffles the chunk or document tables;
