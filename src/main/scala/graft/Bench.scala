@@ -425,7 +425,31 @@ object Bench {
       val incBatchSec = timedResume(nDocs, nDocs + step, "probe-inc", inc = true)
       val fullBatchSec =
         timedResume(nDocs + step, nDocs + 2 * step, "probe-full", inc = false)
+
+      // delete lifecycle (graft.index.Deletes): tombstone ~9% of the corpus,
+      // measure the hot p50 with LIVE tombstones (scoring-time skip, no plan
+      // change), then the forceMergeDeletes-analog purge cost and the p50 on
+      // the exact-stats survivor index
+      val td = System.nanoTime()
+      val nDeleted = graft.index.Deletes.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.pmod(col("docId"),
+          org.apache.spark.sql.functions.lit(11)) === 7)
+      val deleteApplySec = (System.nanoTime() - td) / 1e9
+      require(nDeleted > 0, "delete probe: nothing tombstoned")
+      val p50Live = hotP50()
+      val te = System.nanoTime()
+      require(Compaction.expungeDeletes(spark, dir,
+        blockSize = params.blockSize).nonEmpty, "delete probe: expunge no-op")
+      val expungeSec = (System.nanoTime() - te) / 1e9
+      require(graft.index.Deletes.count(spark, dir) == 0L,
+        "delete probe: tombstones must be fully applied")
+      val p50Purged = hotP50()
       Seq(
+        "deletes_tombstoned" -> nDeleted.toDouble,
+        "delete_apply_sec" -> deleteApplySec,
+        "query_p50_sec_live_deletes_c32" -> p50Live,
+        "expunge_deletes_sec" -> expungeSec,
+        "query_p50_sec_purged_c32" -> p50Purged,
         "derived_refresh_full_sec" -> fullRefreshSec,
         "microbatch_sec_incremental_refresh" -> incBatchSec,
         "microbatch_sec_full_refresh" -> fullBatchSec,
@@ -619,7 +643,9 @@ object Bench {
     "derived_refresh_full_sec", "microbatch_sec_incremental_refresh",
     "microbatch_sec_full_refresh",
     "compaction_sec", "compaction_blocks_before", "compaction_blocks_after",
-    "query_p50_sec_fragmented_c32", "query_p50_sec_compacted_c32")
+    "query_p50_sec_fragmented_c32", "query_p50_sec_compacted_c32",
+    "deletes_tombstoned", "delete_apply_sec", "query_p50_sec_live_deletes_c32",
+    "expunge_deletes_sec", "query_p50_sec_purged_c32")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.{BlockRow, Codec, Compaction, IndexBuilder}
+import graft.index.{BlockRow, Codec, Compaction, Deletes, IndexBuilder}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{QueryEngine, SearchIndex}
 import graft.query.QueryEngine.SearchOpts
@@ -137,6 +137,47 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** Index with LIVE tombstones (q66 gate): plain build, then docId%7==3
+    * tombstoned through graft.index.Deletes — Lucene live-docs semantics,
+    * so stats/df deliberately still count the deleted docs while the docs
+    * themselves are excluded from every result at scoring time. */
+  def docsIndexDeleted(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#del", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-del"
+      IndexBuilder.build(spark, docsCorpus(spark, sfDir), dir,
+        IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+          fields = Seq("content")))
+      val n = Deletes.deleteWhere(spark, dir, pmod(col("docId"), lit(7)) === 3)
+      require(n > 0, "delete gate fixture: nothing tombstoned")
+      new SearchIndex(spark, dir)
+    })
+
+  /** Deleted-then-PURGED index (q67 gate): the full delete lifecycle —
+    * straddled 3-batch ingest, docId%7==3 tombstoned, full compaction
+    * applying the tombstones (merged segments written without the deleted
+    * docs, tombstones GC'd, dictionary/stats re-derived from survivors) —
+    * so the gate's oracle is plain BM25 over the survivor corpus. */
+  def docsIndexPurged(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#purged", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-purged"
+      val corpus = docsCorpus(spark, sfDir)
+      val maxId = corpus.agg(max(col("docId"))).collect()(0).getLong(0)
+      val p = IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+        fields = Seq("content"))
+      IndexBuilder.build(spark, corpus.filter(col("docId") <= maxId / 3), dir,
+        p.copy(inputSnapshot = "batch-0"))
+      IndexBuilder.resume(spark, corpus.filter(col("docId") <= 2 * maxId / 3),
+        dir, p.copy(inputSnapshot = "batch-1"))
+      IndexBuilder.resume(spark, corpus, dir, p.copy(inputSnapshot = "batch-2"))
+      val n = Deletes.deleteWhere(spark, dir, pmod(col("docId"), lit(7)) === 3)
+      require(n > 0, "purge gate fixture: nothing tombstoned")
+      require(Compaction.compact(spark, dir, blockSize = 128).nonEmpty,
+        "purge gate fixture: compact was a no-op")
+      require(Deletes.count(spark, dir) == 0L,
+        "purge gate fixture: full merge must apply and GC every tombstone")
+      new SearchIndex(spark, dir)
+    })
+
   private def bm25(spark: SparkSession, sfDir: String, query: String, k: Int,
       diversity: Boolean, wand: Boolean): DataFrame = {
     val idx = docsIndex(spark, sfDir)
@@ -236,6 +277,24 @@ object SparkEntry {
     "q63_compaction" -> ((s, d) => {
       val idx = docsIndexCompacted(s, d)
       QueryEngine.search(idx, "merge scan table",
+          SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
+        .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("repo"))
+    }),
+    "q66_deletes_live" -> ((s, d) => {
+      // tombstoned docs excluded at scoring time, stats still full-corpus
+      // (the Lucene stale-stats window) — the oracle restates exactly that
+      val idx = docsIndexDeleted(s, d)
+      QueryEngine.search(idx, "spark merge join",
+          SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
+        .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("repo"))
+    }),
+    "q67_deletes_purge" -> ((s, d) => {
+      // after the merge applied the tombstones, the engine must equal plain
+      // BM25 over the survivor corpus — exact stats restored
+      val idx = docsIndexPurged(s, d)
+      QueryEngine.search(idx, "window scan filter",
           SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
         .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"), col("repo"))
@@ -736,8 +795,16 @@ chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk, wcnt
     * QueryEngine.fuzzyExpand), sub-3-char expansions dropped on re-analysis
     * like the engine's query-side analyzer; scoring is unchanged
     * (searchFuzzy is query-shaping only). */
+  /** Delete-semantics knobs (q66/q67 gates, graft.index.Deletes):
+    * `excludeWhere` restates the LIVE-tombstone state — stats/df over the
+    * full corpus, matching docs excluded from candidates BEFORE top-m
+    * selection (the engine skips them at scoring time, so the page is k
+    * live docs); `docsWhere` restates the POST-PURGE state — the whole
+    * document universe (stats included) restricted to survivors. */
   def bm25Sql(terms: Seq[String], k: Int, diversity: Boolean,
-      qid: Option[Int] = None, fuzzy: Boolean = false): String = {
+      qid: Option[Int] = None, fuzzy: Boolean = false,
+      excludeWhere: Option[String] = None,
+      docsWhere: Option[String] = None): String = {
     val sorted = terms.sorted.distinct
     val vals = sorted.map(t => s"('$t')").mkString(",")
     val m = k * 3
@@ -758,7 +825,8 @@ fexp AS (
   UNION
   SELECT term FROM qd),
 q AS (SELECT DISTINCT term FROM fexp WHERE length(term) >= 3)"""
-    val core = s"""WITH $Toks, $Dl,
+    val liveCl = excludeWhere.map(w => s"WHERE NOT ($w) ").getOrElse("")
+    val body = s"""$Toks, $Dl,
 -- avgdl over ALL docs (engine stats average dl=0 docs too; avg(dl) from the
 -- toks-derived dl CTE would silently skip zero-token docs)
 st AS (SELECT (SELECT count(*) FROM documents) AS n,
@@ -773,13 +841,22 @@ contrib AS (
          (t.tf * (1.2 + 1.0) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))) AS c
   FROM tft t JOIN dft f USING (term) JOIN dl l ON t.doc_id = l.doc_id, st),
 sc AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id),
-topm AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $m),
+topm AS (SELECT doc_id, score FROM sc ${liveCl}ORDER BY score DESC, doc_id LIMIT $m),
 meta AS (
   SELECT d.doc_id, d.source AS repo,
     ${qualityCaseSql("l.dl")} AS quality,
     CAST(3 + (${h60Sql("d.source")} % 7) AS DOUBLE) / 10.0 AS reposcore
   FROM documents d JOIN dl l USING (doc_id)),
 joined AS (SELECT t.doc_id, t.score, m.repo, m.quality, m.reposcore FROM topm t JOIN meta m USING (doc_id))"""
+    // post-purge universe: every `documents` reference (tokenization, N,
+    // avgdl, metadata) retargets to the survivor CTE — the replace runs on
+    // the body only, never on the docsrc definition itself
+    val core = docsWhere match {
+      case Some(w) =>
+        s"WITH docsrc AS (SELECT * FROM documents WHERE $w),\n" +
+          body.replace("FROM documents", "FROM docsrc")
+      case None => s"WITH $body"
+    }
     if (!diversity)
       s"""$core
 SELECT CAST(row_number() OVER (ORDER BY $composite) AS BIGINT) AS rnk,
@@ -1203,6 +1280,10 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
     // through the build->resume->resume->compact lifecycle index, so a hash
     // match proves compaction preserved every df/tf/dl the scorer sees
     "q63_compaction" -> bm25Sql(Seq("merge", "scan", "table"), 10, diversity = false),
+    "q66_deletes_live" -> bm25Sql(Seq("spark", "merge", "join"), 10,
+      diversity = false, excludeWhere = Some("doc_id % 7 = 3")),
+    "q67_deletes_purge" -> bm25Sql(Seq("window", "scan", "filter"), 10,
+      diversity = false, docsWhere = Some("doc_id % 7 <> 3")),
     "q15_bm25_multi" -> Seq(
         ("sort table", 0), ("group data row", 1), ("slow filter", 2))
       .map { case (q, i) =>

@@ -74,6 +74,19 @@ object ExplainDump {
     val compactionMerge = graft.index.Compaction.mergedBlocks(spark, dir,
       Seq("snapshot-0", "snapshot-1"), 128, graft.io.ParquetTableIO)
 
+    // tombstone deletes: the candidates/WAND plan is UNCHANGED (the live-docs
+    // skip happens inside the existing MapPartitions — no extra operator, no
+    // extra shuffle); the visible plan pieces are the shard-pruned tombstone
+    // load and the fallback wildcard arm's anti-join
+    graft.index.Deletes.deleteWhere(spark, dir, pmod(col("docId"), lit(97)) === 5)
+    val shardTombs = spark.read.parquet(graft.index.Deletes.tombstones(dir))
+      .filter(pmod(col("docGroup"), lit(4L)) === 1L).select("docId")
+    val delIndex = new SearchIndex(spark, dir)
+    val delCand = QueryEngine.candidates(delIndex, "python tutorial",
+      SearchOpts(wand = true))
+    val delFallback = QueryEngine.fallback(delIndex, "zzznotindexed src",
+      SearchOpts())
+
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
        |Captured by `runMain graft.bench.ExplainDump` (2k-doc index,
@@ -108,7 +121,14 @@ object ExplainDump {
        |   docGroupSize regardless of term df, the build's own skew bound —
        |   followed by an in-partition `Sort` and a streaming
        |   `MapPartitions` decode→re-encode (O(blockSize) memory);
-       |   the `segment IN (...)` filter reaches the parquet scan.
+       |   the `segment IN (...)` filter reaches the parquet scan;
+       |10. tombstone deletes add NO operator to the scoring plan — the
+       |   live-docs skip runs inside the existing `MapPartitions` against a
+       |   once-per-open broadcast whose size is bounded by delete-rate ×
+       |   merge-interval (compaction purges + GCs it), and a serving
+       |   shard's tombstone load prunes on the docGroup PARTITION key; the
+       |   only plan change anywhere is the fallback wildcard arm's
+       |   `BroadcastHashJoin ... LeftAnti` against the tombstone table.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |
@@ -156,6 +176,24 @@ object ExplainDump {
        |
        |```
        |${fmt(compactionMerge.toDF())}
+       |```
+       |
+       |## 10a. WAND candidates WITH live tombstones — plan identical to §1+2
+       |
+       |```
+       |${fmt(delCand)}
+       |```
+       |
+       |## 10b. Serving shard's tombstone load (docGroup partition pruning)
+       |
+       |```
+       |${fmt(shardTombs)}
+       |```
+       |
+       |## 10c. Fallback wildcard arm under deletes (anti-join, still page-bounded)
+       |
+       |```
+       |${fmt(delFallback)}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

@@ -103,6 +103,23 @@ object Compaction {
     compactSegments(spark, dir, segments, blockSize, io)
   }
 
+  /** Lucene `forceMergeDeletes` analog: physically purge tombstoned docs
+    * NOW, even from a single-segment index (plain [[compact]] is a no-op
+    * there), restoring exact df/avgdl/N. No tombstones -> no-op: never pay
+    * a full rewrite for nothing. Every ordinary merge already applies
+    * tombstones to the segments it touches; this is the explicit "make
+    * stats exact now" knob. */
+  def expungeDeletes(spark: SparkSession, dir: String, blockSize: Int = 128,
+      io: TableIO = ParquetTableIO): Option[String] = {
+    Retention.recoverPendingExpiry(spark, dir, io)
+    recoverPendingCompaction(spark, dir, io)
+    if (Deletes.count(spark, dir, io) == 0L) return None
+    val segments = io.read(spark, IndexBuilder.Layout(dir).lineage)
+      .select(col("inputSnapshot")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    compactSegments(spark, dir, segments, blockSize, io, force = true)
+  }
+
   /** PARTIAL merge — the tiered-merge primitive: rewrite only `chosen`
     * into one segment, leaving the others untouched (a full-index rewrite
     * per merge would make total ingest cost quadratic in batch count; a
@@ -116,10 +133,11 @@ object Compaction {
     * block spanning an unmerged segment's range, breaking the query side's
     * firstDocId-sorted cursor order). */
   def compactSegments(spark: SparkSession, dir: String, chosen: Seq[String],
-      blockSize: Int = 128, io: TableIO = ParquetTableIO): Option[String] = {
+      blockSize: Int = 128, io: TableIO = ParquetTableIO,
+      force: Boolean = false): Option[String] = {
     Retention.recoverPendingExpiry(spark, dir, io)
     recoverPendingCompaction(spark, dir, io)
-    if (chosen.distinct.size <= 1) return None
+    if (chosen.isEmpty || (chosen.distinct.size <= 1 && !force)) return None
     val layout = IndexBuilder.Layout(dir)
     val lineage = io.read(spark, layout.lineage)
     val all = lineage.select(col("inputSnapshot")).distinct()
@@ -281,8 +299,16 @@ object Compaction {
     val layout = IndexBuilder.Layout(dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val docs = io.read(spark, layout.docs)
+    // tombstone purge (Lucene merge semantics): the merged segment is
+    // written WITHOUT the deleted docs; the no-deletes path is untouched so
+    // a delete-free compaction stays bitwise-equal to a monolithic build
+    val tombs = Deletes.df(spark, dir, io)
+    val docs0 = io.read(spark, layout.docs)
       .filter(col("segment").isin(segments: _*)).drop("segment")
+    val docs = tombs match {
+      case Some(t) => docs0.join(t.select(col("docId")), Seq("docId"), "left_anti")
+      case None => docs0
+    }
     io.overwritePartitions(
       docs.withColumn("segment", lit(newSeg))
         .repartition(col("docGroup")).sortWithinPartitions("docId"),
@@ -305,6 +331,11 @@ object Compaction {
       segments: Seq[String], blockSize: Int,
       io: TableIO): org.apache.spark.sql.Dataset[BlockRow] = {
     import spark.implicits._
+    // tombstoned docs drop out of the decode->re-encode stream; the set is
+    // broadcast once (size bounded by delete-rate × merge-interval — the
+    // Deletes scale contract), and the empty case costs one branch per doc
+    val delsBc = spark.sparkContext.broadcast(
+      Deletes.loadSet(spark, dir, io = io))
     io.read(spark, IndexBuilder.Layout(dir).postings)
       .filter(col("segment").isin(segments: _*))
       .select($"field", $"term", $"docGroup", $"blockIdx", $"firstDocId",
@@ -315,11 +346,14 @@ object Compaction {
         $"blockIdx")
       .as[BlockRow]
       .mapPartitions { it =>
+        val dels = delsBc.value
         val occurrences = it.flatMap { b =>
-          Codec.decodeBlock(b.firstDocId, b.bytes).iterator.flatMap { p =>
-            p.positions.iterator.map(pos =>
-              (b.field, b.term, b.docGroup, p.docId, p.dl, pos))
-          }
+          Codec.decodeBlock(b.firstDocId, b.bytes).iterator
+            .filter(p => !dels.contains(b.docGroup, p.docId))
+            .flatMap { p =>
+              p.positions.iterator.map(pos =>
+                (b.field, b.term, b.docGroup, p.docId, p.dl, pos))
+            }
         }
         new BlockBuildIterator(occurrences, blockSize)
       }
@@ -384,6 +418,15 @@ object Compaction {
         $"shaOk", coalesce($"carriedAt", current_timestamp()).as("updatedAt"),
         lit(newSeg).as("inputSnapshot"))
     io.overwritePartitions(lineage, layout.lineage, Seq("inputSnapshot"))
+    // tombstone GC: the merged segment was written without its deleted docs
+    // (writeCompactedSegment/mergedBlocks), so any tombstone whose doc no
+    // longer exists is APPLIED — drop it (keep = tombstones ⋉ docs).
+    // Idempotent against the post-swap docs table, so a crash-recovery
+    // re-run of this roll-forward recomputes the same survivors; tombstones
+    // pointing into UNmerged segments survive untouched. Runs before
+    // refreshDerived so the derived stats and the delete state commit
+    // together.
+    Deletes.gc(spark, dir, io)
     IndexBuilder.refreshDerived(spark, dir, io)
     // pending FIRST: a crash between these two deletes must leave
     // commit-without-pending (a swept no-op), never pending-without-commit

@@ -1,0 +1,212 @@
+package graft.index
+
+import graft.io.{ParquetTableIO, TableIO}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Immutable membership view of the tombstone table, shipped to scoring
+  * tasks: per-docGroup SORTED docId arrays, membership by binary search.
+  * Serializable so the distributed paths can broadcast one instance per
+  * index open (never per query) and the serving tier can hold its shard's
+  * slice resident. */
+final class DeleteSet private[index] (
+    private val groups: Map[Long, Array[Long]]) extends Serializable {
+  def isEmpty: Boolean = groups.isEmpty
+  def nonEmpty: Boolean = groups.nonEmpty
+  /** Total tombstones in this view. */
+  def size: Long = groups.valuesIterator.map(_.length.toLong).sum
+  def contains(docGroup: Long, docId: Long): Boolean = {
+    val a = groups.getOrElse(docGroup, null)
+    a != null && java.util.Arrays.binarySearch(a, docId) >= 0
+  }
+}
+
+object DeleteSet {
+  val empty: DeleteSet = new DeleteSet(Map.empty)
+}
+
+/** Row-level deletes — the Lucene live-docs model (public knowledge; cf.
+  * Lucene's `liveDocs` bitset + `forceMergeDeletes`), which the reference's
+  * OpenSearch tier gets for free from its engine (indexer/opensearch_client
+  * delete-by-id API surface). Graft's index tables are immutable
+  * (docGroup, segment) partitions, so deletes are TOMBSTONES:
+  *
+  *   tombstones/   docId            [partitioned by docGroup]
+  *
+  * Semantics (documented, Lucene-identical):
+  *   - Query-time: a tombstoned doc is excluded from every result — the
+  *     WAND, exhaustive and serving paths all skip it AT SCORING TIME (not
+  *     post-filtered), so the top-k is always k live docs.
+  *   - Stats: df/N/avgdl keep counting tombstoned docs until a merge
+  *     physically purges them (exactly Lucene's stale-stats window); scores
+  *     drift accordingly and snap back to exact at the next compaction,
+  *     which rewrites the touched segments without the deleted docs and
+  *     re-derives dictionary/stats from the survivors.
+  *   - Re-adding a purged docId is only admitted for a group's tail ids
+  *     (resume's `docId > committed max` rule); ingest-assigned ids are
+  *     assigned once, and a re-crawled doc arrives under a fresh id through
+  *     the upsert path (CrawlSource.upsertById).
+  *
+  * Scale posture: the live tombstone count is bounded by delete-rate ×
+  * merge-interval, NOT corpus size — compaction (including the streaming
+  * tier's per-batch auto-merge) continuously applies and GCs tombstones, so
+  * the set a query must consult stays small enough to broadcast; this is
+  * the same budget that lets Lucene hold per-segment live-docs bitmaps in
+  * node RAM. The table itself is docGroup-partitioned, so a serving shard
+  * loads ONLY its groups' tombstones (partition-pruned scan) and the
+  * eventual Iceberg TableIO can map it onto positional delete files
+  * unchanged.
+  *
+  * Crash safety: the table is PRIMARY state (not re-derivable), so every
+  * rewrite goes through a staged swap — write `tombstones._stage` fully,
+  * rename the live table away to `._old`, rename the stage in, drop the
+  * old. [[recover]] resolves every crash window at the next call (same
+  * single-writer contract as Compaction): a stage beside a live table is an
+  * UNACKNOWLEDGED write (the caller never saw success) and is dropped; a
+  * stage without a live table was complete (the rename-away only happens
+  * after the stage write returned) and is renamed in.
+  */
+object Deletes {
+
+  def tombstones(indexDir: String): String = s"$indexDir/tombstones"
+  private def stage(indexDir: String) = s"${tombstones(indexDir)}._stage"
+  private def old(indexDir: String) = s"${tombstones(indexDir)}._old"
+
+  /** Resolve staged-swap crash residue (see class doc). Cheap in the common
+    * case: one fs.exists on the stage path. */
+  def recover(spark: SparkSession, indexDir: String,
+      io: TableIO = ParquetTableIO): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new org.apache.hadoop.fs.Path(stage(indexDir))
+    val live = new org.apache.hadoop.fs.Path(tombstones(indexDir))
+    val ol = new org.apache.hadoop.fs.Path(old(indexDir))
+    if (fs.exists(st)) {
+      if (fs.exists(live)) fs.delete(st, true) // unacknowledged write
+      else if (fs.exists(ol)) { fs.rename(st, live); () } // swap was mid-flight
+      else fs.delete(st, true) // first-ever write, unacknowledged
+    }
+    if (fs.exists(ol)) {
+      if (!fs.exists(live)) { fs.rename(ol, live); () } // rename-in never ran
+      else fs.delete(ol, true)
+    }
+  }
+
+  /** Staged full-table swap to `rows` (docId, docGroup); empty input drops
+    * the table (an empty tombstone table and an absent one are the same
+    * state, and absence keeps every query's fast path marker-free — the
+    * all-applied GC case). Dropping without a stage is safe THERE because
+    * the empty case only arises when no tombstone survives: a crash
+    * mid-delete strands tombstones that point at already-purged docs, which
+    * membership checks never hit and the next GC re-sweeps. */
+  private def swapTo(spark: SparkSession, indexDir: String, rows: DataFrame,
+      io: TableIO): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(tombstones(indexDir))
+    val st = new org.apache.hadoop.fs.Path(stage(indexDir))
+    val ol = new org.apache.hadoop.fs.Path(old(indexDir))
+    val prepared = rows.select(col("docId").cast("long").as("docId"),
+        col("docGroup").cast("long").as("docGroup"))
+      .distinct()
+    if (prepared.isEmpty) { fs.delete(live, true); return }
+    io.overwriteTable(
+      prepared.repartition(col("docGroup")).sortWithinPartitions("docId"),
+      st.toString, Seq("docGroup"))
+    if (fs.exists(live)) { fs.rename(live, ol); () }
+    fs.rename(st, live)
+    if (fs.exists(ol)) fs.delete(ol, true)
+  }
+
+  /** Tombstone the docs matching `pred` (evaluated against the docs table).
+    * Idempotent — re-deleting is a set union. Returns the live tombstone
+    * count after the call. */
+  def deleteWhere(spark: SparkSession, indexDir: String, pred: Column,
+      io: TableIO = ParquetTableIO): Long = {
+    val ids = io.read(spark, IndexBuilder.Layout(indexDir).docs)
+      .filter(pred).select(col("docId"), col("docGroup"))
+    deleteResolved(spark, indexDir, ids, io)
+  }
+
+  /** Tombstone by id: `ids` needs a `docId` column; each id's docGroup is
+    * resolved against the docs table (exact for both dense-range and
+    * hash-bucket grouping). Ids absent from the index are dropped — deleting
+    * a doc that does not exist is a no-op, like Lucene's deleteDocuments.
+    * Returns the live tombstone count after the call. */
+  def deleteIds(spark: SparkSession, indexDir: String, ids: DataFrame,
+      io: TableIO = ParquetTableIO): Long = {
+    val resolved = io.read(spark, IndexBuilder.Layout(indexDir).docs)
+      .join(ids.select(col("docId").cast("long").as("docId")).distinct(), Seq("docId"))
+      .select(col("docId"), col("docGroup"))
+    deleteResolved(spark, indexDir, resolved, io)
+  }
+
+  private def deleteResolved(spark: SparkSession, indexDir: String,
+      ids: DataFrame, io: TableIO): Long = {
+    recover(spark, indexDir, io)
+    val unioned = df(spark, indexDir, io) match {
+      case Some(existing) => existing.unionByName(ids)
+      case None => ids
+    }
+    swapTo(spark, indexDir, unioned, io)
+    count(spark, indexDir, io)
+  }
+
+  /** The tombstone table as a DataFrame (docId, docGroup), if any. Runs
+    * crash recovery first — a caller observing the table mid-swap (live
+    * renamed away, stage complete) must see the recovered state, not
+    * "no deletes". */
+  def df(spark: SparkSession, indexDir: String,
+      io: TableIO = ParquetTableIO): Option[DataFrame] = {
+    recover(spark, indexDir, io)
+    if (io.exists(spark, tombstones(indexDir)))
+      Some(io.read(spark, tombstones(indexDir))
+        .select(col("docId").cast("long").as("docId"),
+          col("docGroup").cast("long").as("docGroup")))
+    else None
+  }
+
+  def count(spark: SparkSession, indexDir: String,
+      io: TableIO = ParquetTableIO): Long =
+    df(spark, indexDir, io).map(_.count()).getOrElse(0L)
+
+  /** Load the membership view — whole table, or one serving shard's slice
+    * (`docGroup % n == i`, partition-pruned on the docGroup key so a shard
+    * reads only its groups' tombstones). Runs crash recovery first (same
+    * one-fs.exists posture as the compaction/expiry sweeps at index open). */
+  def loadSet(spark: SparkSession, indexDir: String,
+      shard: Option[(Int, Int)] = None,
+      io: TableIO = ParquetTableIO): DeleteSet = {
+    recover(spark, indexDir, io)
+    df(spark, indexDir, io) match {
+      case None => DeleteSet.empty
+      case Some(t) =>
+        val filtered = shard match {
+          case Some((i, n)) => t.filter(pmod(col("docGroup"), lit(n.toLong)) === i.toLong)
+          case None => t
+        }
+        val grouped = filtered
+          .groupBy(col("docGroup"))
+          .agg(sort_array(collect_list(col("docId"))).as("ids"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+          .toMap
+        if (grouped.isEmpty) DeleteSet.empty else new DeleteSet(grouped)
+    }
+  }
+
+  /** Drop tombstones whose doc no longer exists (a merge purged it, or
+    * retention expired its segment): keep = tombstones ⋉ docs. Runs inside
+    * Compaction.rollForward — idempotent, so a crash-recovery re-run of the
+    * roll-forward recomputes the same survivor set from the post-swap docs
+    * table. */
+  def gc(spark: SparkSession, indexDir: String,
+      io: TableIO = ParquetTableIO): Unit = {
+    recover(spark, indexDir, io)
+    df(spark, indexDir, io).foreach { t =>
+      val live = io.read(spark, IndexBuilder.Layout(indexDir).docs)
+        .select(col("docId").cast("long").as("docId"))
+      swapTo(spark, indexDir, t.join(live, Seq("docId"), "left_semi"), io)
+    }
+  }
+}

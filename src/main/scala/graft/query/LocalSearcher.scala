@@ -56,6 +56,13 @@ object LocalSearcher {
     val scoredCount = new _root_.java.util.concurrent.atomic.AtomicLong(0L)
     val stats: Map[String, (Long, Double)] = index.stats
 
+    /** This shard's tombstones only (the table is docGroup-partitioned, so
+      * the load is partition-pruned the same way the blocks/docs scans are)
+      * — a node's delete state is proportional to its shard, never the
+      * whole index's delete history (graft.index.Deletes scale posture). */
+    val deletes: graft.index.DeleteSet =
+      graft.index.Deletes.loadSet(index.spark, index.dir, shard)
+
     /** Query-term df, served from a bounded hot cache backed by the
       * tlen-partitioned dictionary — a serving node holds only the terms
       * queries actually touch, NEVER the full vocabulary (at 10^9 terms a
@@ -239,7 +246,8 @@ object LocalSearcher {
     val onDecode: () => Unit = () => { li.decodeCount.incrementAndGet(); () }
     allBlocks.groupBy(_.docGroup).toSeq.sortBy(_._1).foreach { case (_, grp) =>
       QueryEngine.scoreGroup(grp, weights, avgdls, opts.bm25, heap, phraseOn,
-        pTerms, opts.phraseField, opts.phraseBoost, phraseIdf, phraseUb, onDecode)
+        pTerms, opts.phraseField, opts.phraseBoost, phraseIdf, phraseUb, onDecode,
+        li.deletes)
     }
     li.scoredCount.addAndGet(heap.scored)
     heap.results

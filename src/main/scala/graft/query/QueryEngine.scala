@@ -19,6 +19,30 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
   // index open (no-op in the common case).
   graft.index.Retention.recoverPendingExpiry(spark, dir)
   graft.index.Compaction.recoverPendingCompaction(spark, dir)
+
+  /** Tombstone membership view (graft.index.Deletes — Lucene live-docs
+    * semantics): loaded and broadcast ONCE per index open, never per query;
+    * its size is bounded by delete-rate × merge-interval (compaction
+    * applies + GCs tombstones), not corpus size. Mutating deletes through
+    * [[graft.index.Deletes]] while this handle is open requires
+    * [[reloadDeletes]] — same single-writer posture as every other index
+    * mutation. */
+  @volatile private var deletesBc
+      : org.apache.spark.broadcast.Broadcast[graft.index.DeleteSet] =
+    spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir))
+  def deletes: graft.index.DeleteSet = deletesBc.value
+  private[query] def deletesBroadcast = deletesBc
+  def reloadDeletes(): this.type = {
+    val prev = deletesBc
+    deletesBc = spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir))
+    prev.destroy()
+    this
+  }
+  /** The tombstone table as a DataFrame, for declarative anti-joins
+    * (fallback wildcard arm). */
+  private[query] def tombstonesDf: Option[DataFrame] =
+    graft.index.Deletes.df(spark, dir)
+
   lazy val docs: DataFrame = spark.read.parquet(layout.docs)
   lazy val postings: DataFrame = spark.read.parquet(layout.postings)
   lazy val dictionary: DataFrame = spark.read.parquet(layout.dictionary)
@@ -240,9 +264,16 @@ object QueryEngine {
     val scored = candidates(index, query, relaxed)
     val needle = query.toLowerCase(java.util.Locale.ROOT).trim
     val corpusDocs = index.stats.values.headOption.map(_._1).getOrElse(0L)
+    // wildcard arm scans the docs table directly, so tombstoned docs must
+    // be excluded declaratively (anti-join; the indexed arm above excludes
+    // them at scoring time like every other path)
+    val wildBase = index.tombstonesDf match {
+      case Some(t) => index.docs.join(t.select($"docId"), Seq("docId"), "left_anti")
+      case None => index.docs
+    }
     val scoredAndWild =
       if (corpusDocs > wildcardMaxDocs) scored
-      else scored.unionByName(index.docs
+      else scored.unionByName(wildBase
         .filter(lower($"path").contains(needle))
         .select($"docId").orderBy($"docId").limit(opts.k * opts.overfetch)
         .withColumn("score", lit(0.1)))
@@ -292,10 +323,10 @@ object QueryEngine {
 
     if (opts.wand)
       wandCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms,
-        phraseIdf, index.blocksDecoded)
+        phraseIdf, index.blocksDecoded, index.deletesBroadcast)
     else
       exhaustiveCandidates(spark, blocks, weights, avgdls, opts, phraseOn, phraseTerms,
-        phraseIdf, index.blocksDecoded)
+        phraseIdf, index.blocksDecoded, index.deletesBroadcast)
   }
 
   /** Phrase tfNorm arm shared by all paths (fixed op order). */
@@ -329,26 +360,33 @@ object QueryEngine {
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       opts: SearchOpts, phraseOn: Boolean, phraseTerms: Array[String],
       phraseIdf: Double,
-      decodeAcc: org.apache.spark.util.LongAccumulator = null): DataFrame = {
+      decodeAcc: org.apache.spark.util.LongAccumulator = null,
+      deletesBc: org.apache.spark.broadcast.Broadcast[graft.index.DeleteSet] = null): DataFrame = {
     import spark.implicits._
     val p = opts.bm25
     val pf = opts.phraseField
     val pb = opts.phraseBoost
     val pTerms = phraseTerms
     val acc = Option(decodeAcc)
+    val delBc = Option(deletesBc)
 
-    // (docId, field, term, contrib, dl, positions)
+    // (docId, field, term, contrib, dl, positions); tombstoned docs dropped
+    // at decode (Deletes semantics: excluded from candidates, stats stale
+    // until purge)
     val decoded: Dataset[(Long, String, String, Double, Int, Seq[Int])] =
       blocks.flatMap { b =>
         val avgdl = avgdls(b.field)
         val w = weights((b.field, b.term))
         val keepPos = phraseOn && b.field == pf && pTerms.contains(b.term)
+        val dels = delBc.map(_.value).getOrElse(graft.index.DeleteSet.empty)
         acc.foreach(_.add(1L))
-        Codec.decodeBlock(b.firstDocId, b.bytes).iterator.map { post =>
-          (post.docId, b.field, b.term,
-            w * BM25.tfNorm(post.tf, post.dl, avgdl, p), post.dl,
-            if (keepPos) post.positions.toSeq else Seq.empty[Int])
-        }
+        Codec.decodeBlock(b.firstDocId, b.bytes).iterator
+          .filter(post => !dels.contains(b.docGroup, post.docId))
+          .map { post =>
+            (post.docId, b.field, b.term,
+              w * BM25.tfNorm(post.tf, post.dl, avgdl, p), post.dl,
+              if (keepPos) post.positions.toSeq else Seq.empty[Int])
+          }
       }
 
     decoded.groupByKey(_._1).mapGroups { (docId, it) =>
@@ -380,7 +418,8 @@ object QueryEngine {
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       opts: SearchOpts, phraseOn: Boolean, phraseTerms: Array[String],
       phraseIdf: Double,
-      decodeAcc: org.apache.spark.util.LongAccumulator = null): DataFrame = {
+      decodeAcc: org.apache.spark.util.LongAccumulator = null,
+      deletesBc: org.apache.spark.broadcast.Broadcast[graft.index.DeleteSet] = null): DataFrame = {
     import spark.implicits._
     val p = opts.bm25
     val m = opts.k * opts.overfetch
@@ -390,17 +429,19 @@ object QueryEngine {
     // phrase arm is non-negative, bounded by boost*idf*(k1+1)
     val phraseUb = if (phraseOn) math.max(0.0, pb * phraseIdf * (p.k1 + 1.0)) else 0.0
     val acc = Option(decodeAcc)
+    val delBc = Option(deletesBc)
 
     blocks
       .repartition(col("docGroup"))
       .sortWithinPartitions("docGroup", "field", "term", "firstDocId", "blockIdx")
       .mapPartitions { it =>
         val onDecode: () => Unit = () => acc.foreach(_.add(1L))
+        val dels = delBc.map(_.value).getOrElse(graft.index.DeleteSet.empty)
         val heap = new BoundedTopK(m)
         val grouped = new GroupIterator(it)
         while (grouped.hasNext)
           scoreGroup(grouped.next(), weights, avgdls, p, heap, phraseOn,
-            pTerms, pf, pb, phraseIdf, phraseUb, onDecode)
+            pTerms, pf, pb, phraseIdf, phraseUb, onDecode, dels)
         heap.results.iterator
       }
       .toDF("docId", "score")
@@ -526,7 +567,9 @@ object QueryEngine {
       weights: Map[(String, String), Double], avgdls: Map[String, Double],
       p: BM25.Params, heap: BoundedTopK, phraseOn: Boolean,
       pTerms: Array[String], pf: String, pb: Double, phraseIdf: Double,
-      phraseUb: Double, onDecode: () => Unit = () => ()): Unit = {
+      phraseUb: Double, onDecode: () => Unit = () => (),
+      deleted: graft.index.DeleteSet = graft.index.DeleteSet.empty): Unit = {
+    val docGroup = groupBlocks.head.docGroup
     // cursors in ascending (field, term) order — the fixed summation order.
     // Blocks of a (field, term) sort by (firstDocId, blockIdx): segments of
     // an incrementally-grown group hold disjoint monotone docId ranges, so
@@ -561,7 +604,16 @@ object QueryEngine {
         if (pivotIdx < 0) done = true
         else {
           val pivotDoc = sorted(pivotIdx).currentDoc
-          if (sorted.head.currentDoc == pivotDoc) {
+          if (sorted.head.currentDoc == pivotDoc &&
+              deleted.contains(docGroup, pivotDoc)) {
+            // tombstoned doc (Lucene live-docs skip): never scored, never a
+            // heap entry — the top-k is k LIVE docs, not a post-filtered
+            // page. Skipping only removes candidates, so the heap floor
+            // stays a valid lower bound and every WAND bound check above
+            // remains conservative-correct.
+            cursors.foreach(c =>
+              if (!c.exhausted && c.currentDoc == pivotDoc) c.advance())
+          } else if (sorted.head.currentDoc == pivotDoc) {
             // BLOCK-MAX refinement (the "block-max" in block-max WAND): the
             // pivot selection above used term-level suffix maxima; here the
             // pivot's score is bounded by its ACTUAL current blocks' UBs.
