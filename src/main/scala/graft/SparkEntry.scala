@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.{BlockRow, Codec, Compaction, Deletes, IndexBuilder}
+import graft.index.{BlockRow, Codec, Compaction, Deletes, IndexBuilder, Upsert}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{QueryEngine, SearchIndex}
 import graft.query.QueryEngine.SearchOpts
@@ -178,6 +178,36 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** Index through the RE-CRAWL lifecycle (q68/q69 gates,
+    * graft.index.Upsert): plain build, then ONE upsert batch keyed by
+    * (repo, path) — ids %4==0 re-crawled with changed content (tombstone
+    * old + add under a fresh dense id), %4==1 re-presented byte-identical
+    * (idempotent no-op), %9==5 re-added under a NEW path (pure adds) —
+    * left in the mid-lifecycle state: live tombstones, stale full-corpus
+    * stats, adds as an appended segment. Mirrors the reference indexer's
+    * content-hash-gated re-ingest (crawler content_hash.h:16-28 +
+    * data_pipeline indexer _id-keyed bulk upsert). */
+  def docsIndexUpserted(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#ups", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-ups"
+      val corpus = docsCorpus(spark, sfDir)
+      val p = IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+        fields = Seq("content"))
+      IndexBuilder.build(spark, corpus, dir, p)
+      val unchanged = corpus.filter(pmod(col("docId"), lit(4)) === 1).drop("docId")
+      val changed = corpus.filter(pmod(col("docId"), lit(4)) === 0).drop("docId")
+        .withColumn("content", concat(col("content"), lit(" zzzrefresh update")))
+      val brandNew = corpus.filter(pmod(col("docId"), lit(9)) === 5).drop("docId")
+        .withColumn("path", concat(col("path"), lit(".new")))
+        .withColumn("content", concat(lit("qqnovel corpus addition "), col("content")))
+      val r = Upsert.upsert(spark,
+        unchanged.unionByName(changed).unionByName(brandNew), dir,
+        p.copy(inputSnapshot = "recrawl-1"), Seq("repo", "path"))
+      require(r.added > 0 && r.tombstoned > 0 && r.unchangedSkipped > 0,
+        s"upsert gate fixture degenerate: $r")
+      new SearchIndex(spark, dir)
+    })
+
   private def bm25(spark: SparkSession, sfDir: String, query: String, k: Int,
       diversity: Boolean, wand: Boolean): DataFrame = {
     val idx = docsIndex(spark, sfDir)
@@ -298,6 +328,27 @@ object SparkEntry {
           SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
         .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"), col("repo"))
+    }),
+    "q68_upsert_search" -> ((s, d) => {
+      // mid-lifecycle state after a re-crawl upsert: adds live under fresh
+      // dense ids, stale versions tombstoned but still in stats/df — the
+      // oracle restates the whole universe (old ∪ adds) with the dead
+      // versions excluded at scoring time
+      val idx = docsIndexUpserted(s, d)
+      QueryEngine.search(idx, "zzzrefresh qqnovel merge",
+          SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
+        .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("repo"))
+    }),
+    "q69_upsert_view" -> ((s, d) => {
+      // upsert bookkeeping: the LIVE docs view — fresh ids are dense rank
+      // by (repo, path) above every committed id, stale versions dead,
+      // unchanged keys untouched
+      val idx = docsIndexUpserted(s, d)
+      val dead = Deletes.df(s, idx.dir).get.select("docId")
+      idx.docs.join(dead, Seq("docId"), "left_anti")
+        .select(col("docId").as("doc_id"), col("repo"), col("path"),
+          col("dl_content").cast("long").as("dl"))
     }),
     "q15_bm25_multi" -> ((s, d) => {
       Seq("sort table", "group data row", "slow filter")
@@ -756,6 +807,31 @@ object SparkEntry {
 
   private val Dl = "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
 
+  /** The post-upsert document universe (q68/q69 gates): every original doc
+    * (the %4==0 stale versions flagged `dead` — tombstoned but still in
+    * stats), plus the upsert batch's adds under oracle-recomputed fresh
+    * ids — base = max committed id + 1, dense rank in (repo, path) order,
+    * exactly graft.index.Upsert's assignment. Ends in `docsrc` for
+    * bm25Sql(docsSrcSql). */
+  private val UpsertSrcSql: String = {
+    val path = "source || '/' || lang || '/' || CAST(doc_id AS VARCHAR)"
+    s"""adds AS (
+  SELECT source, $path AS path, lang, text || ' zzzrefresh update' AS text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT source, $path || '.new' AS path, lang,
+         'qqnovel corpus addition ' || text AS text
+  FROM documents WHERE doc_id % 9 = 5),
+docsrc AS (
+  SELECT doc_id, source, $path AS path, lang, text, doc_id % 4 = 0 AS dead
+  FROM documents
+  UNION ALL
+  SELECT (SELECT max(doc_id) + 1 FROM documents)
+           + row_number() OVER (ORDER BY source, path) - 1 AS doc_id,
+         source, path, lang, text, FALSE AS dead
+  FROM adds)"""
+  }
+
   /** The reference length-step quality function — ONE restatement of
     * IndexBuilder.defaultQuality shared by every oracle that ranks pages
     * (a drifted copy would silently break exactly one gate). */
@@ -804,7 +880,8 @@ chx AS (SELECT doc_id, chunk_idx, doc_id * $pack + chunk_idx AS cid, chunk, wcnt
   def bm25Sql(terms: Seq[String], k: Int, diversity: Boolean,
       qid: Option[Int] = None, fuzzy: Boolean = false,
       excludeWhere: Option[String] = None,
-      docsWhere: Option[String] = None): String = {
+      docsWhere: Option[String] = None,
+      docsSrcSql: Option[String] = None): String = {
     val sorted = terms.sorted.distinct
     val vals = sorted.map(t => s"('$t')").mkString(",")
     val m = k * 3
@@ -851,11 +928,16 @@ joined AS (SELECT t.doc_id, t.score, m.repo, m.quality, m.reposcore FROM topm t 
     // post-purge universe: every `documents` reference (tokenization, N,
     // avgdl, metadata) retargets to the survivor CTE — the replace runs on
     // the body only, never on the docsrc definition itself
-    val core = docsWhere match {
-      case Some(w) =>
+    val core = (docsSrcSql, docsWhere) match {
+      // docsSrcSql: caller-supplied CTE chain ending in `docsrc` — an
+      // arbitrary document universe (e.g. the post-upsert old ∪ adds view);
+      // its own `FROM documents` references are NOT rewritten
+      case (Some(src), _) =>
+        s"WITH $src,\n" + body.replace("FROM documents", "FROM docsrc")
+      case (None, Some(w)) =>
         s"WITH docsrc AS (SELECT * FROM documents WHERE $w),\n" +
           body.replace("FROM documents", "FROM docsrc")
-      case None => s"WITH $body"
+      case _ => s"WITH $body"
     }
     if (!diversity)
       s"""$core
@@ -1280,6 +1362,15 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
     // through the build->resume->resume->compact lifecycle index, so a hash
     // match proves compaction preserved every df/tf/dl the scorer sees
     "q63_compaction" -> bm25Sql(Seq("merge", "scan", "table"), 10, diversity = false),
+    "q68_upsert_search" -> bm25Sql(Seq("zzzrefresh", "qqnovel", "merge"), 10,
+      diversity = false, docsSrcSql = Some(UpsertSrcSql),
+      excludeWhere = Some("doc_id IN (SELECT doc_id FROM docsrc WHERE dead)")),
+    "q69_upsert_view" -> s"""WITH $UpsertSrcSql,
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docsrc),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+SELECT d.doc_id, d.source AS repo, d.path, COALESCE(l.dl, CAST(0 AS BIGINT)) AS dl
+FROM docsrc d LEFT JOIN dl l USING (doc_id)
+WHERE NOT d.dead""",
     "q66_deletes_live" -> bm25Sql(Seq("spark", "merge", "join"), 10,
       diversity = false, excludeWhere = Some("doc_id % 7 = 3")),
     "q67_deletes_purge" -> bm25Sql(Seq("window", "scan", "filter"), 10,

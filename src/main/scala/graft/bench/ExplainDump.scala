@@ -87,6 +87,15 @@ object ExplainDump {
     val delFallback = QueryEngine.fallback(delIndex, "zzznotindexed src",
       SearchOpts())
 
+    // upsert classification: the re-crawl probe is joins/aggregations keyed
+    // by the natural key — the docs-side read must prune to exactly
+    // (key, docId, sha256) in ReadSchema, dead rows leave via a broadcast
+    // anti-join, and no id set ever reaches the driver
+    val upsBatch = CorpusGen.generateDF(spark, 600L, 43L, 8).drop("docId")
+    val (_, upsAdds, upsTombs) = graft.index.Upsert.classify(spark, upsBatch,
+      dir, IndexBuilder.Params(blockSize = 128, docGroupSize = 512L),
+      Seq("repo", "path"))
+
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
        |Captured by `runMain graft.bench.ExplainDump` (2k-doc index,
@@ -128,7 +137,13 @@ object ExplainDump {
        |   merge-interval (compaction purges + GCs it), and a serving
        |   shard's tombstone load prunes on the docGroup PARTITION key; the
        |   only plan change anywhere is the fallback wildcard arm's
-       |   `BroadcastHashJoin ... LeftAnti` against the tombstone table.
+       |   `BroadcastHashJoin ... LeftAnti` against the tombstone table;
+       |11. the upsert's re-crawl classification reads the docs table pruned
+       |   to exactly (key, docId, sha256) (`ReadSchema`), drops dead rows
+       |   via a broadcast anti-join against the bounded tombstone table,
+       |   and resolves add/no-op/update per key with ordinary
+       |   hash-aggregate + semi-join — no driver-side id set at any point,
+       |   so classification scales with the BATCH, not the index.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |
@@ -194,6 +209,18 @@ object ExplainDump {
        |
        |```
        |${fmt(delFallback)}
+       |```
+       |
+       |## 11a. Upsert classification — adds (pruned docs probe, key-grain aggregate)
+       |
+       |```
+       |${fmt(upsAdds)}
+       |```
+       |
+       |## 11b. Upsert classification — stale tombstone ids
+       |
+       |```
+       |${fmt(upsTombs)}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

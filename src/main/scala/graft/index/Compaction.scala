@@ -43,15 +43,14 @@ import org.apache.spark.sql.functions._
   * build/resume (`IndexBuilder.resume`) and before expiry/compaction —
   * one fs.exists in the common no-marker case.
   *
-  * CONCURRENCY CONTRACT (single writer): the marker protocol makes a crash
-  * of THE writer recoverable; it does not serialize concurrent writers, and
-  * the plain-parquet TableIO gives readers no snapshot isolation — a reader
-  * mid-scan during rollForward can observe deleted replaced-segment files,
-  * and two processes opening the index concurrently could both run
-  * recoverPendingCompaction and race on the same deletes. Exactly one
-  * process may mutate an index directory at a time (StreamingIndexer's
-  * foreachBatch already serializes ingest, expiry and auto-merge on one
-  * driver); concurrent READERS during mutation additionally require the
+  * CONCURRENCY CONTRACT: the marker protocol makes a crash of THE writer
+  * recoverable; writer-writer exclusion is ENFORCED by [[WriterLock]] — every
+  * mutating entry point (build/resume, delete, expiry, compaction, upsert)
+  * runs under the index's `_writer_lock` lease, so two processes can no
+  * longer race recoverPendingCompaction or interleave staged swaps (a second
+  * writer gets ConcurrentWriterException; a crashed holder's lease is broken
+  * by pid-liveness on local filesystems, by age elsewhere). Readers remain
+  * lease-free: reader isolation against an in-flight swap still requires the
   * Iceberg TableIO, whose snapshot commits give them an immutable view —
   * with plain parquet, pause mutation or query a different index copy.
   *
@@ -94,14 +93,15 @@ object Compaction {
     * bit-identity with a monolithic build; any positive value is valid —
     * block metadata is self-describing to the query side). */
   def compact(spark: SparkSession, dir: String, blockSize: Int = 128,
-      io: TableIO = ParquetTableIO): Option[String] = {
-    Retention.recoverPendingExpiry(spark, dir, io)
-    recoverPendingCompaction(spark, dir, io)
-    val segments = io.read(spark, IndexBuilder.Layout(dir).lineage)
-      .select(col("inputSnapshot")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    compactSegments(spark, dir, segments, blockSize, io)
-  }
+      io: TableIO = ParquetTableIO): Option[String] =
+    WriterLock.withLock(spark, dir) {
+      Retention.recoverPendingExpiry(spark, dir, io)
+      recoverPendingCompaction(spark, dir, io)
+      val segments = io.read(spark, IndexBuilder.Layout(dir).lineage)
+        .select(col("inputSnapshot")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      compactSegments(spark, dir, segments, blockSize, io)
+    }
 
   /** Lucene `forceMergeDeletes` analog: physically purge tombstoned docs
     * NOW, even from a single-segment index (plain [[compact]] is a no-op
@@ -110,15 +110,16 @@ object Compaction {
     * tombstones to the segments it touches; this is the explicit "make
     * stats exact now" knob. */
   def expungeDeletes(spark: SparkSession, dir: String, blockSize: Int = 128,
-      io: TableIO = ParquetTableIO): Option[String] = {
-    Retention.recoverPendingExpiry(spark, dir, io)
-    recoverPendingCompaction(spark, dir, io)
-    if (Deletes.count(spark, dir, io) == 0L) return None
-    val segments = io.read(spark, IndexBuilder.Layout(dir).lineage)
-      .select(col("inputSnapshot")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    compactSegments(spark, dir, segments, blockSize, io, force = true)
-  }
+      io: TableIO = ParquetTableIO): Option[String] =
+    WriterLock.withLock(spark, dir) {
+      Retention.recoverPendingExpiry(spark, dir, io)
+      recoverPendingCompaction(spark, dir, io)
+      if (Deletes.count(spark, dir, io) == 0L) return None
+      val segments = io.read(spark, IndexBuilder.Layout(dir).lineage)
+        .select(col("inputSnapshot")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      compactSegments(spark, dir, segments, blockSize, io, force = true)
+    }
 
   /** PARTIAL merge — the tiered-merge primitive: rewrite only `chosen`
     * into one segment, leaving the others untouched (a full-index rewrite
@@ -134,7 +135,7 @@ object Compaction {
     * firstDocId-sorted cursor order). */
   def compactSegments(spark: SparkSession, dir: String, chosen: Seq[String],
       blockSize: Int = 128, io: TableIO = ParquetTableIO,
-      force: Boolean = false): Option[String] = {
+      force: Boolean = false): Option[String] = WriterLock.withLock(spark, dir) {
     Retention.recoverPendingExpiry(spark, dir, io)
     recoverPendingCompaction(spark, dir, io)
     if (chosen.isEmpty || (chosen.distinct.size <= 1 && !force)) return None
@@ -204,7 +205,7 @@ object Compaction {
     * by construction. Returns the merged segment name, or None when
     * already within budget. */
   def compactToBudget(spark: SparkSession, dir: String, maxSegments: Int,
-      blockSize: Int = 128, io: TableIO = ParquetTableIO): Option[String] = {
+      blockSize: Int = 128, io: TableIO = ParquetTableIO): Option[String] = WriterLock.withLock(spark, dir) {
     require(maxSegments >= 1, "maxSegments must be >= 1")
     Retention.recoverPendingExpiry(spark, dir, io)
     recoverPendingCompaction(spark, dir, io)
@@ -237,6 +238,18 @@ object Compaction {
     * and resolved. */
   def recoverPendingCompaction(spark: SparkSession, dir: String,
       io: TableIO = ParquetTableIO): Boolean = {
+    val p = pendingPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // lock-free fast path (readers open indexes through here): no pending
+    // marker and no commit residue — same two fs.exists as before. Any
+    // residue means mutation, which must hold the writer lease; the lease
+    // body re-probes, because another writer may have recovered first.
+    if (!fs.exists(p) && !fs.exists(commitPath(dir))) return false
+    WriterLock.withLock(spark, dir) { doRecoverPending(spark, dir, io) }
+  }
+
+  private def doRecoverPending(spark: SparkSession, dir: String,
+      io: TableIO): Boolean = {
     val p = pendingPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {

@@ -78,6 +78,17 @@ object Deletes {
       io: TableIO = ParquetTableIO): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // lock-free fast path (readers come through here): no swap residue.
+    // Residue means a writer died mid-swap — resolving it is a mutation,
+    // so it runs under the writer lease (re-probing inside).
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage(indexDir))) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(old(indexDir)))) return
+    WriterLock.withLock(spark, indexDir) { doRecover(spark, indexDir) }
+  }
+
+  private def doRecover(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = new org.apache.hadoop.fs.Path(stage(indexDir))
     val live = new org.apache.hadoop.fs.Path(tombstones(indexDir))
     val ol = new org.apache.hadoop.fs.Path(old(indexDir))
@@ -142,7 +153,7 @@ object Deletes {
   }
 
   private def deleteResolved(spark: SparkSession, indexDir: String,
-      ids: DataFrame, io: TableIO): Long = {
+      ids: DataFrame, io: TableIO): Long = WriterLock.withLock(spark, indexDir) {
     recover(spark, indexDir, io)
     val unioned = df(spark, indexDir, io) match {
       case Some(existing) => existing.unionByName(ids)

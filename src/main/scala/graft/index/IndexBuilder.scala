@@ -193,8 +193,9 @@ object IndexBuilder {
 
   /** Full build: wipes `dir` first. */
   def build(spark: SparkSession, corpus: DataFrame, dir: String,
-      params: Params = Params()): Unit = {
-    params.io.drop(spark, dir)
+      params: Params = Params()): Unit = WriterLock.withLock(spark, dir) {
+    params.io.drop(spark, dir) // takes the lock file with it
+    WriterLock.reassert(spark, dir)
     buildGroups(spark, corpus, dir, params, resume = false)
   }
 
@@ -204,7 +205,7 @@ object IndexBuilder {
     * re-derived from the FULL tables so a resumed build is
     * indistinguishable from a from-scratch build of the union. */
   def resume(spark: SparkSession, corpus: DataFrame, dir: String,
-      params: Params = Params()): Unit = {
+      params: Params = Params()): Unit = WriterLock.withLock(spark, dir) {
     // an index written before the int64-partitionId lineage contract must
     // be migrated BEFORE anything reads lineage — appending long rows
     // beside int32 files yields mixed-width parquet and flaky reads

@@ -36,6 +36,17 @@ object Retention {
       io: TableIO = ParquetTableIO): Boolean = {
     val p = markerPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // lock-free fast path (readers open indexes through here); a marker
+    // means a writer died mid-expiry — finishing it is a mutation, so it
+    // runs under the writer lease (re-probing inside)
+    if (!fs.exists(p)) return false
+    WriterLock.withLock(spark, dir) { doRecoverExpiry(spark, dir, io) }
+  }
+
+  private def doRecoverExpiry(spark: SparkSession, dir: String,
+      io: TableIO): Boolean = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
     val in = fs.open(p)
     val pending =
@@ -55,7 +66,8 @@ object Retention {
   /** Drop the given snapshots' segments from docs/postings + their lineage
     * partitions, then refresh the derived tables. No-op for unknown ids. */
   def expireSnapshots(spark: SparkSession, dir: String,
-      snapshots: Seq[String], io: TableIO = ParquetTableIO): Unit = {
+      snapshots: Seq[String], io: TableIO = ParquetTableIO): Unit =
+    WriterLock.withLock(spark, dir) {
     recoverPendingExpiry(spark, dir, io)
     // an unresolved compaction must be settled first: post-commit its old
     // segments are half-deleted (lineage would misreport the survivors);
@@ -95,7 +107,8 @@ object Retention {
     * the resulting snapshot ID LIST (one per batch, not per group) reaches
     * the driver. */
   def expireOlderThan(spark: SparkSession, dir: String,
-      cutoff: java.sql.Timestamp, io: TableIO = ParquetTableIO): Seq[String] = {
+      cutoff: java.sql.Timestamp, io: TableIO = ParquetTableIO): Seq[String] =
+      WriterLock.withLock(spark, dir) {
     val layout = IndexBuilder.Layout(dir)
     if (!io.exists(spark, layout.lineage)) return Seq.empty
     val expired = io.read(spark, layout.lineage)

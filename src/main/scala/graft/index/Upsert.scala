@@ -1,0 +1,126 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Index-level upsert — the RE-CRAWL lifecycle (the reference's indexer
+  * re-ingests pages whose content hash changed, crawler content_hash.h +
+  * indexer.py's _id-keyed bulk upsert; its OpenSearch tier hides the
+  * delete+add underneath). Graft's docIds are immutable and dense, so an
+  * update is explicitly: tombstone the old docId, index the new content
+  * under a FRESH id appended as a new segment.
+  *
+  * Per incoming natural key (e.g. url / repo+path):
+  *   - no live row with the same key             -> ADD under a fresh id;
+  *   - a live same-key row with the SAME sha256  -> no-op (idempotent
+  *     re-crawl: re-presenting unchanged content costs nothing);
+  *   - live same-key rows with a DIFFERENT sha   -> those rows are
+  *     TOMBSTONED (and the content added, unless a same-sha row also
+  *     exists).
+  *
+  * These rules make the operation CONVERGENT: re-running the same batch is
+  * a complete no-op, and the one crash window (segment committed, deletes
+  * not yet applied — adds run FIRST so a crash can never lose a document)
+  * leaves both versions briefly visible and converges on retry, because
+  * the retry sees the new version live-with-same-sha (skips the add) and
+  * the old version live-with-different-sha (re-issues the tombstone).
+  * At-least-once visibility, exactly-once content — the same contract as
+  * the corpus-level upsert (CrawlSource.upsertById, S6).
+  *
+  * Scale shape: everything is joins/aggregations keyed by the natural key
+  * or docId — no driver-side id set. The docs probe is column-pruned to
+  * (key, docId, sha256); fresh ids are assigned as base + dense rank via
+  * `zipWithIndex` (per-partition counts in one lightweight job, offsets
+  * applied map-side — a distributed dense-rank without the single-partition
+  * exchange a global row_number window would need), deterministic because
+  * the adds are range-partitioned and sorted by key first. The append
+  * itself is IndexBuilder.resume (straddled-append segment semantics), the
+  * deletes are graft.index.Deletes (bounded, purged at merge).
+  */
+object Upsert {
+
+  case class Result(added: Long, tombstoned: Long, unchangedSkipped: Long)
+
+  /** Upsert `corpus` (the natural-key columns + content fields; NO docId —
+    * ids are owned by the index) into the index at `dir`. Each call is one
+    * ingest batch: `params.inputSnapshot` must be fresh (and stable across
+    * retries of the same batch), exactly like resume. */
+  /** The probe/classification side of [[upsert]], exposed for plan
+    * inspection (ExplainDump §11): returns (deduped incoming, adds, stale
+    * tombstone ids). All lazy DataFrames — no action runs here. */
+  private[graft] def classify(spark: SparkSession, corpus: DataFrame,
+      dir: String, params: IndexBuilder.Params, keyCols: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val io = params.io
+    val layout = IndexBuilder.Layout(dir)
+
+    // batch-internal dedupe, deterministic: one winner per key, smallest
+    // sha256 (re-running the batch picks the same winner)
+    val keyCs = keyCols.map(col)
+    val incoming = corpus.withColumn("_sha", sha2(col("content"), 256))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(keyCs: _*).orderBy(col("_sha"))))
+      .filter(col("_rk") === 1).drop("_rk")
+
+    // live same-key rows, column-pruned; tombstoned rows are already dead
+    // and must not block an add or be re-tombstoned
+    val docsCols = (keyCols :+ "docId" :+ "sha256").map(col)
+    val existing0 = io.read(spark, layout.docs).select(docsCols: _*)
+      .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
+    val existing = Deletes.df(spark, dir, io) match {
+      case Some(t) => existing0.join(
+        t.select(col("docId").as("_oldId")), Seq("_oldId"), "left_anti")
+      case None => existing0
+    }
+
+    val matched = incoming.join(existing, keyCols, "left_outer")
+    // a key is UNCHANGED iff some live row already carries this content
+    val keyState = matched.groupBy(keyCs: _*)
+      .agg(max(when(col("_oldSha") === col("_sha"), 1).otherwise(0)).as("_hasSame"))
+    val adds = incoming.join(
+      keyState.filter(col("_hasSame") === 0).select(keyCs: _*), keyCols, "left_semi")
+    val tombs = matched.filter(col("_oldId").isNotNull && col("_oldSha") =!= col("_sha"))
+      .select(col("_oldId").as("docId"))
+    (incoming, adds, tombs)
+  }
+
+  def upsert(spark: SparkSession, corpus: DataFrame, dir: String,
+      params: IndexBuilder.Params, keyCols: Seq[String]): Result =
+      WriterLock.withLock(spark, dir) {
+    require(keyCols.nonEmpty, "upsert needs at least one natural-key column")
+    require(!corpus.columns.contains("docId"),
+      "upsert assigns docIds itself — the incoming batch must not carry one")
+    val io = params.io
+    val layout = IndexBuilder.Layout(dir)
+    val keyCs = keyCols.map(col)
+    val (incoming, adds, tombs) = classify(spark, corpus, dir, params, keyCols)
+
+    val nAdds = adds.count()
+    val added =
+      if (nAdds == 0L) 0L
+      else {
+        // fresh dense ids above every committed id: base from lineage (the
+        // commit marker resume trusts), dense rank by key order
+        val base = io.read(spark, layout.lineage)
+          .agg(max(col("maxDocId"))).collect()(0).getLong(0) + 1L
+        val parts = math.max(1, adds.rdd.getNumPartitions)
+        val ordered = adds.drop("_sha")
+          .repartitionByRange(parts, keyCs: _*).sortWithinPartitions(keyCs: _*)
+        val schema = ordered.schema.add("docId", LongType, nullable = false)
+        val withIds = spark.createDataFrame(
+          ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i)) },
+          schema)
+        IndexBuilder.resume(spark, withIds, dir, params)
+        nAdds
+      }
+    // deletes AFTER the append (see class doc: a crash here duplicates
+    // briefly, never loses); count delta = applied tombstones
+    val before = Deletes.count(spark, dir, io)
+    val afterTotal =
+      if (tombs.isEmpty) before
+      else Deletes.deleteIds(spark, dir, tombs, io)
+    Result(added, afterTotal - before, incoming.count() - nAdds)
+  }
+}
