@@ -65,10 +65,17 @@ object Upsert {
       .filter(col("_rk") === 1).drop("_rk")
 
     // live same-key rows, column-pruned; tombstoned rows are already dead
-    // and must not block an add or be re-tombstoned
+    // and must not block an add or be re-tombstoned. Bootstrap: the FIRST
+    // batch of a streaming upsert lands on a dir with no index yet — every
+    // key is an add (an empty probe side, not an error)
     val docsCols = (keyCols :+ "docId" :+ "sha256").map(col)
-    val existing0 = io.read(spark, layout.docs).select(docsCols: _*)
-      .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
+    val existing0 =
+      if (!io.exists(spark, layout.docs))
+        incoming.select(keyCs: _*).limit(0)
+          .withColumn("_oldId", lit(null).cast(LongType))
+          .withColumn("_oldSha", lit(null).cast("string"))
+      else io.read(spark, layout.docs).select(docsCols: _*)
+        .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
     val existing = Deletes.df(spark, dir, io) match {
       case Some(t) => existing0.join(
         t.select(col("docId").as("_oldId")), Seq("_oldId"), "left_anti")
@@ -102,9 +109,12 @@ object Upsert {
       if (nAdds == 0L) 0L
       else {
         // fresh dense ids above every committed id: base from lineage (the
-        // commit marker resume trusts), dense rank by key order
-        val base = io.read(spark, layout.lineage)
-          .agg(max(col("maxDocId"))).collect()(0).getLong(0) + 1L
+        // commit marker resume trusts), dense rank by key order; 0 on a
+        // not-yet-built index (bootstrap batch)
+        val base =
+          if (!io.exists(spark, layout.lineage)) 0L
+          else io.read(spark, layout.lineage)
+            .agg(max(col("maxDocId"))).collect()(0).getLong(0) + 1L
         val parts = math.max(1, adds.rdd.getNumPartitions)
         val ordered = adds.drop("_sha")
           .repartitionByRange(parts, keyCs: _*).sortWithinPartitions(keyCs: _*)

@@ -71,6 +71,51 @@ object StreamingIndexer {
     q.awaitTermination()
   }
 
+  /** CONTINUOUS RE-CRAWL ingestion: the reference's actual production loop —
+    * the crawler re-emits pages forever, and the indexer upserts them by
+    * content hash (crawler content_hash.h:16-28; the indexer's `_id`-keyed
+    * bulk upsert) — as a streaming mode. Each micro-batch goes through
+    * [[graft.index.Upsert]] keyed by `keyCols`: unchanged content is a
+    * no-op, changed content tombstones the stale docId and appends the new
+    * version under a fresh dense id, new keys are plain adds. The first
+    * batch bootstraps the index from nothing.
+    *
+    * Exactly-once composes three layers: the streaming checkpoint (which
+    * files were consumed), the epoch-stable segment name (`<prefix>-N`
+    * survives crash-retries, so the resume's partition overwrite is
+    * idempotent), and the upsert's own convergence (a retry skips adds that
+    * committed and re-issues tombstones that didn't — UpsertSpec's crash
+    * window). `maxSegments` bounds segment count via the tiered auto-merge,
+    * which also PURGES the accumulated tombstones whenever it touches their
+    * segments — the merge keeps both the segment count and the dead-doc
+    * debt bounded under an infinite re-crawl stream. */
+  def runUpsertAvailableNow(spark: SparkSession, inputDir: String,
+      schema: StructType, indexDir: String, checkpointDir: String,
+      keyCols: Seq[String], params: IndexBuilder.Params = IndexBuilder.Params(),
+      segmentPrefix: String = "recrawl", maxSegments: Int = 0): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(inputDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.Upsert.upsert(spark, batch.drop("docId"), indexDir,
+            params.copy(inputSnapshot = s"$segmentPrefix-$epochId"), keyCols)
+          if (maxSegments > 0) {
+            graft.index.Compaction.compactToBudget(spark, indexDir, maxSegments,
+              params.blockSize, params.io)
+            ()
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** S8 TRUE dual-priority drain (indexer.py:81-123 DualPriorityQueue.get +
     * :737-742 main loop): fresh files ALWAYS preempt backlog — the backlog
     * is processed one micro-batch at a time, and before EVERY backlog

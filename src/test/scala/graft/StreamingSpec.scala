@@ -202,6 +202,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched, "dual-priority result != batch build of union")
   }
 
+  test("streaming re-crawl upsert: bootstrap + change detection; expunged index equals a fresh build of the live state") {
+    import spark.implicits._
+    val base = "/tmp/graft-test/stream-upsert"
+    IndexBuilder.deleteDir(spark, base)
+    val input = s"$base/in"
+    val indexDir = s"$base/index"
+
+    // crawl rows carry NO docId (ids are owned by the index) and no sha
+    // (the builder recomputes it from content)
+    def gen(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).map(i => (i, CorpusGen.row(41L, i)))
+        .select(col("_2.repo").as("repo"), col("_2.path").as("path"),
+          col("_2.commit").as("commit"), col("_2.lang").as("lang"),
+          col("_2.content").as("content"))
+
+    // crawl snapshot 1 (pages 0-149): bootstraps the index from nothing
+    gen(0L, 150L, 4).write.mode("overwrite").parquet(input)
+    val schema = spark.read.parquet(input).schema
+    def run(): Unit = StreamingIndexer.runUpsertAvailableNow(spark, input,
+      schema, indexDir, s"$base/ckpt", Seq("repo", "path"), params,
+      maxSegments = 3)
+    run()
+    assert(spark.read.parquet(s"$indexDir/docs").count() == 150L)
+
+    // crawl snapshot 2 (re-crawl): 0-49 changed content, 50-149 re-presented
+    // byte-identical, 150-199 brand new — split across micro-batches
+    val changed = gen(0L, 50L, 2)
+      .withColumn("content", concat(col("content"), lit(" zzedit refreshed")))
+    changed.unionByName(gen(50L, 150L, 2)).unionByName(gen(150L, 200L, 2))
+      .write.mode("append").parquet(input)
+    run()
+
+    // mid-lifecycle state: 200 live keys, the 50 stale versions tombstoned,
+    // unchanged pages keep their bootstrap ids, every add got a fresh id
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    val dead = graft.index.Deletes.df(spark, indexDir).get.select("docId")
+    val live = docs.join(dead, Seq("docId"), "left_anti")
+    assert(live.count() == 200L, "live view wrong size")
+    assert(graft.index.Deletes.count(spark, indexDir) == 50L,
+      "changed pages not tombstoned")
+    val liveShas = live.select("repo", "path", "sha256")
+      .as[(String, String, String)].collect().toSet
+    val wantShas = changed.unionByName(gen(50L, 150L, 2))
+      .unionByName(gen(150L, 200L, 2))
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .as[(String, String, String)].collect().toSet
+    assert(liveShas == wantShas, "live (key, sha) view != final crawl state")
+    val segs = spark.read.parquet(s"$indexDir/lineage")
+      .select("inputSnapshot").distinct().count()
+    assert(segs <= 3, s"auto-merge budget violated: $segs segments")
+
+    // the changed content is searchable NOW and only under fresh ids (the
+    // stale versions are dead even before any physical purge)
+    val zz = QueryEngine.search(new SearchIndex(spark, indexDir), "zzedit",
+      SearchOpts(k = 60, diversity = false)).collect()
+    assert(zz.length == 50, s"expected 50 zzedit hits, got ${zz.length}")
+    assert(zz.forall(_.getAs[Long]("docId") >= 150L),
+      "a tombstoned stale version surfaced in search")
+
+    // after an explicit purge, ranking over the streamed index is the same
+    // multiset as a from-scratch batch build of the final live corpus
+    // (id assignments differ by construction, so compare (score, key))
+    graft.index.Compaction.expungeDeletes(spark, indexDir, params.blockSize)
+    val batchDir = s"$base/batch"
+    IndexBuilder.build(spark,
+      changed.unionByName(gen(50L, 150L, 2)).unionByName(gen(150L, 200L, 2)),
+      batchDir, params)
+    def ranked(dir: String): Set[(String, String, String)] = {
+      val idx = new SearchIndex(spark, dir)
+      QueryEngine.search(idx, "python tutorial",
+          SearchOpts(k = 250, diversity = false))
+        .select("docId", "score")
+        .join(idx.docs.select("docId", "repo", "path"), Seq("docId"))
+        .select(format_number(col("score"), 9), col("repo"), col("path"))
+        .as[(String, String, String)].collect().toSet
+    }
+    assert(ranked(indexDir) == ranked(batchDir),
+      "streamed+expunged ranking != fresh build of the live corpus")
+  }
+
   test("mapGroupsWithState recrawl scheduler: backoff doubles, resets on change, survives restart") {
     import spark.implicits._
     import graft.streaming.CrawlScheduler
