@@ -350,6 +350,19 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("repo"), col("path"),
           col("dl_content").cast("long").as("dl"))
     }),
+    "q70_keymap" -> ((s, d) => {
+      // the upsert KeyMap sidecar IS the live (key -> docId, sha256) view:
+      // gated against an oracle that recomputes the post-upsert live
+      // corpus from scratch (dead versions out, fresh dense ids,
+      // content hashes) — proving the bucket-incremental sidecar equals
+      // ground truth through the full build -> upsert lifecycle
+      val idx = docsIndexUpserted(s, d)
+      require(graft.index.KeyMap.validBuckets(s, idx.dir, Seq("repo", "path"))
+        .nonEmpty, "q70 fixture: keymap marker must be valid after the upsert")
+      s.read.parquet(graft.index.KeyMap.table(idx.dir))
+        .select(col("repo"), col("path"), col("docId").cast("long").as("doc_id"),
+          col("sha256").as("sha"))
+    }),
     "q15_bm25_multi" -> ((s, d) => {
       Seq("sort table", "group data row", "slow filter")
         .zipWithIndex.map { case (q, i) =>
@@ -1371,6 +1384,9 @@ dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
 SELECT d.doc_id, d.source AS repo, d.path, COALESCE(l.dl, CAST(0 AS BIGINT)) AS dl
 FROM docsrc d LEFT JOIN dl l USING (doc_id)
 WHERE NOT d.dead""",
+    "q70_keymap" -> s"""WITH $UpsertSrcSql
+SELECT source AS repo, path, doc_id, sha256(text) AS sha
+FROM docsrc WHERE NOT dead""",
     "q66_deletes_live" -> bm25Sql(Seq("spark", "merge", "join"), 10,
       diversity = false, excludeWhere = Some("doc_id % 7 = 3")),
     "q67_deletes_purge" -> bm25Sql(Seq("window", "scan", "filter"), 10,

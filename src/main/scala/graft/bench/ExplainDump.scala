@@ -92,9 +92,18 @@ object ExplainDump {
     // (key, docId, sha256) in ReadSchema, dead rows leave via a broadcast
     // anti-join, and no id set ever reaches the driver
     val upsBatch = CorpusGen.generateDF(spark, 600L, 43L, 8).drop("docId")
-    val (_, upsAdds, upsTombs) = graft.index.Upsert.classify(spark, upsBatch,
+    val (_, upsAdds, upsTombs, _) = graft.index.Upsert.classify(spark, upsBatch,
       dir, IndexBuilder.Params(blockSize = 128, docGroupSize = 512L),
       Seq("repo", "path"))
+
+    // steady-state re-crawl probe: the SAME classification through the
+    // KeyMap sidecar — the scan must prune on the keyBucket PARTITION key
+    // (touched buckets only), turning the probe O(batch) instead of
+    // O(index)
+    graft.index.KeyMap.rebuild(spark, dir, Seq("repo", "path"))
+    val kmProbe = graft.index.KeyMap.probe(spark, dir,
+      upsBatch.limit(40).select("repo", "path"), Seq("repo", "path"),
+      graft.index.KeyMap.DefaultBuckets)
 
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
@@ -143,7 +152,14 @@ object ExplainDump {
        |   via a broadcast anti-join against the bounded tombstone table,
        |   and resolves add/no-op/update per key with ordinary
        |   hash-aggregate + semi-join — no driver-side id set at any point,
-       |   so classification scales with the BATCH, not the index.
+       |   so classification scales with the BATCH, not the index;
+       |12. in the steady re-crawl loop the probe side goes through the
+       |   KeyMap sidecar instead: a bucket-partitioned live
+       |   (key -> docId, sha256) table whose scan prunes on the keyBucket
+       |   PARTITION key to exactly the buckets the batch touches
+       |   (`PartitionFilters` below) — the probe reads O(touched buckets),
+       |   flat in index size, and per-batch maintenance rewrites only
+       |   those buckets.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |
@@ -221,6 +237,13 @@ object ExplainDump {
        |
        |```
        |${fmt(upsTombs)}
+       |```
+       |
+       |## 12. KeyMap probe — steady-state re-crawl classification
+       |   (keyBucket partition pruning: O(touched buckets), not O(index))
+       |
+       |```
+       |${fmt(kmProbe)}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

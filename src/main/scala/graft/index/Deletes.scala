@@ -154,6 +154,9 @@ object Deletes {
 
   private def deleteResolved(spark: SparkSession, indexDir: String,
       ids: DataFrame, io: TableIO): Long = WriterLock.withLock(spark, indexDir) {
+    // tombstoning changes the live view: invalidate the upsert keymap
+    // before mutating (Upsert re-validates it after its own deletes)
+    KeyMap.invalidate(spark, indexDir)
     recover(spark, indexDir, io)
     val unioned = df(spark, indexDir, io) match {
       case Some(existing) => existing.unionByName(ids)

@@ -206,6 +206,10 @@ object IndexBuilder {
     * indistinguishable from a from-scratch build of the union. */
   def resume(spark: SparkSession, corpus: DataFrame, dir: String,
       params: Params = Params()): Unit = WriterLock.withLock(spark, dir) {
+    // appending changes the live (key -> docId, sha) view without
+    // maintaining the upsert keymap: drop its validity marker FIRST so a
+    // later Upsert probes ground truth (KeyMap crash-ordering contract)
+    KeyMap.invalidate(spark, dir)
     // an index written before the int64-partitionId lineage contract must
     // be migrated BEFORE anything reads lineage — appending long rows
     // beside int32 files yields mixed-width parquet and flaky reads

@@ -1,0 +1,176 @@
+package graft.index
+
+import graft.io.{ParquetTableIO, TableIO}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Live natural-key → (docId, sha256) sidecar for [[Upsert]].
+  *
+  * Without it, every upsert batch probes the FULL docs table to classify
+  * keys (add / no-op / update) — column-pruned, but still O(index) per
+  * micro-batch: the same growth class as the derived-table refresh the
+  * incremental-maintenance work removed. The keymap makes the probe
+  * O(touched buckets):
+  *
+  *   keymap/   keyBucket=<b>/  (key cols..., docId, sha256)   LIVE rows only
+  *
+  * `keyBucket = pmod(xxhash64(<first key column>), nBuckets)` — bucketed on
+  * the FIRST key column deliberately: re-crawl batches have key locality
+  * (the reference's crawler schedules per domain; a code corpus re-ingests
+  * per repo), so a batch touches ~#distinct-first-keys buckets, and the
+  * probe's partition filter prunes the rest of the table. A uniform hash of
+  * the whole key would spread every batch over all buckets and prune
+  * nothing. Hot first-keys skew a bucket; that costs a larger probe/rewrite
+  * for batches touching it, never correctness.
+  *
+  * CONSISTENCY: the keymap is fully derived from docs ⊖ tombstones, and a
+  * `_keymap_ok` marker (holding keyCols + nBuckets) asserts it is current.
+  * Every OTHER mutation path (plain resume, deletes, retention expiry)
+  * deletes the marker BEFORE mutating; [[Upsert]] checks the marker before
+  * classifying — present: pruned probe + incremental bucket maintenance;
+  * absent: the full docs probe (the always-correct path) followed by a full
+  * rebuild that re-validates the marker. A crash anywhere leaves the marker
+  * absent, so the retry is classified against ground truth — the keymap can
+  * go stale, but a stale keymap is never READ. Segment compaction does not
+  * touch the marker: it is a physical reorg that preserves the live
+  * (key, docId, sha) view by construction (purged ids are already dead).
+  *
+  * Everything here assumes the caller holds the index writer lease (true
+  * for all callers: Upsert, IndexBuilder, Deletes, Retention).
+  */
+object KeyMap {
+
+  def table(dir: String): String = s"$dir/keymap"
+  private def markerPath(dir: String) = new Path(s"$dir/_keymap_ok")
+
+  val DefaultBuckets = 256
+
+  private def fs(spark: SparkSession, dir: String) =
+    markerPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketOf(keyCols: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(col(keyCols.head)), lit(nBuckets.toLong)).as("keyBucket")
+
+  /** Drop the validity marker. Called FIRST by every mutation that does not
+    * maintain the keymap itself — crash-ordering makes "marker present"
+    * imply "keymap current". Idempotent, one fs op. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    fs(spark, dir).delete(markerPath(dir), false)
+    ()
+  }
+
+  /** nBuckets if the keymap is current AND was built for these key columns
+    * (a keymap keyed differently is useless for this probe). */
+  def validBuckets(spark: SparkSession, dir: String,
+      keyCols: Seq[String]): Option[Int] = {
+    val p = markerPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) return None
+    val txt =
+      try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.IOException => return None }
+    txt.trim.split("\\|", -1) match {
+      case Array(ks, nb) if ks == keyCols.mkString(",") =>
+        nb.toIntOption.filter(_ > 0)
+      case _ => None // zero-byte residue or different key columns
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String,
+      keyCols: Seq[String], nBuckets: Int): Unit = {
+    val out = fs(spark, dir).create(markerPath(dir), /*overwrite=*/ true)
+    try out.write(s"${keyCols.mkString(",")}|$nBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Pruned probe: live (key, docId, sha) rows for exactly the buckets the
+    * batch touches. The bucket list is a bounded collect (≤ nBuckets ints)
+    * over the batch — never over the index — and reaches the scan as a
+    * partition filter, so the probe reads only the touched directories.
+    * (keyBucket is a PARTITION column, so it reads back path-type-inferred
+    * as int — cast, per the lineage-partitionId lesson.) */
+  def probe(spark: SparkSession, dir: String, batchKeys: DataFrame,
+      keyCols: Seq[String], nBuckets: Int,
+      io: TableIO = ParquetTableIO): DataFrame = {
+    val touched = batchKeys.select(bucketOf(keyCols, nBuckets))
+      .distinct().collect().map(_.getLong(0))
+    io.read(spark, table(dir))
+      .filter(col("keyBucket").cast("long").isin(touched.toIndexedSeq: _*))
+      .select((keyCols.map(col) :+ col("docId").as("_oldId") :+
+        col("sha256").as("_oldSha")): _*)
+  }
+
+  /** Incremental maintenance after an upsert batch: rewrite ONLY the
+    * touched buckets — their surviving rows minus the tombstoned docIds
+    * plus the adds — then re-validate the marker. Cost is O(touched
+    * buckets), flat in index size for a locality-keyed batch.
+    *
+    * `tombIds` must carry the key columns beside `docId`: the tombstoned
+    * rows' buckets are derived from the KEY (an update's tombstone and its
+    * replacement add land in the same bucket). A touched bucket is
+    * explicitly partition-deleted before the dynamic-overwrite write —
+    * dynamic mode only replaces partitions PRESENT in the output, so a
+    * bucket whose rows all died (tombstone with no same-key add) would
+    * otherwise silently keep its stale rows.
+    *
+    * Crash-safe only because callers invalidate the marker before ANY of
+    * the batch's index mutations (see [[invalidate]]): a crash inside this
+    * method leaves buckets half-rewritten but the marker absent, so the
+    * next batch probes ground truth and [[rebuild]]s. */
+  def applyBatch(spark: SparkSession, dir: String, adds: DataFrame,
+      tombIds: DataFrame, keyCols: Seq[String], nBuckets: Int,
+      io: TableIO = ParquetTableIO): Unit = {
+    invalidate(spark, dir) // defensive: never mutate under a live marker
+    val addRows = adds.select((keyCols.map(col) :+ col("docId") :+
+      col("sha256")): _*).withColumn("keyBucket", bucketOf(keyCols, nBuckets))
+    val touched = addRows.select(col("keyBucket"))
+      .union(tombIds.select(bucketOf(keyCols, nBuckets)))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    if (touched.nonEmpty) {
+      val existing =
+        if (io.exists(spark, table(dir)))
+          io.read(spark, table(dir))
+            .withColumn("keyBucket", col("keyBucket").cast("long"))
+            .filter(col("keyBucket").isin(touched: _*))
+        else addRows.limit(0)
+      val next = existing
+        .join(tombIds.select(col("docId")), Seq("docId"), "left_anti")
+        .unionByName(addRows)
+      // `next` reads the buckets the deletes below remove — stage it to
+      // disk first (a cache() can be evicted and recompute over the deleted
+      // files; a staged table cannot). Crash anywhere: marker stays absent,
+      // next batch rebuilds from ground truth and drops the stage.
+      val stage = s"${table(dir)}._stage"
+      io.drop(spark, stage)
+      io.overwriteTable(next, stage, Seq.empty)
+      val staged = io.read(spark, stage)
+      touched.foreach(b => io.deletePartitions(spark, table(dir),
+        Seq("keyBucket" -> b.toString)))
+      if (!staged.isEmpty)
+        io.overwritePartitions(staged, table(dir), Seq("keyBucket"))
+      io.drop(spark, stage)
+    }
+    writeMarker(spark, dir, keyCols, nBuckets)
+  }
+
+  /** Full derive from ground truth (docs ⊖ tombstones) — the bootstrap,
+    * repair and audit path; re-validates the marker. O(index), paid once
+    * after any out-of-band mutation, never in the steady upsert loop. */
+  def rebuild(spark: SparkSession, dir: String, keyCols: Seq[String],
+      nBuckets: Int = DefaultBuckets, io: TableIO = ParquetTableIO): Unit = {
+    val layout = IndexBuilder.Layout(dir)
+    val live0 = io.read(spark, layout.docs)
+      .select((keyCols.map(col) :+ col("docId") :+ col("sha256")): _*)
+    val live = Deletes.df(spark, dir, io) match {
+      case Some(t) => live0.join(t.select("docId"), Seq("docId"), "left_anti")
+      case None => live0
+    }
+    io.overwriteTable(live.withColumn("keyBucket", bucketOf(keyCols, nBuckets)),
+      table(dir), Seq("keyBucket"))
+    writeMarker(spark, dir, keyCols, nBuckets)
+  }
+}

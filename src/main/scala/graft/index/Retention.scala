@@ -52,6 +52,7 @@ object Retention {
     val pending =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
+    KeyMap.invalidate(spark, dir) // expiry changes the live key view
     val layout = IndexBuilder.Layout(dir)
     pending.filter(_.nonEmpty).foreach { s =>
       io.deletePartitions(spark, layout.docs, Seq("docGroup" -> "*", "segment" -> s))
@@ -91,6 +92,7 @@ object Retention {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(snapshots.mkString("\n").getBytes("UTF-8")) finally out.close()
+    KeyMap.invalidate(spark, dir) // expiry changes the live key view
     snapshots.foreach { s =>
       io.deletePartitions(spark, layout.docs, Seq("docGroup" -> "*", "segment" -> s))
       io.deletePartitions(spark, layout.postings, Seq("docGroup" -> "*", "segment" -> s))

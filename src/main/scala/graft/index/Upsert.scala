@@ -49,10 +49,17 @@ object Upsert {
     * retries of the same batch), exactly like resume. */
   /** The probe/classification side of [[upsert]], exposed for plan
     * inspection (ExplainDump §11): returns (deduped incoming, adds, stale
-    * tombstone ids). All lazy DataFrames — no action runs here. */
+    * tombstone ids, the [[KeyMap]] bucket count when the probe went through
+    * a valid keymap). All lazy DataFrames — no index mutation runs here.
+    *
+    * Probe choice: with a current keymap (marker present, same key
+    * columns), the live same-key rows come from the bucket-pruned keymap —
+    * O(touched buckets) instead of O(index) — and need no tombstone
+    * anti-join (the keymap holds live rows only). Without one, the
+    * always-correct path probes the full docs table ⊖ tombstones. */
   private[graft] def classify(spark: SparkSession, corpus: DataFrame,
       dir: String, params: IndexBuilder.Params, keyCols: Seq[String])
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Option[Int]) = {
     val io = params.io
     val layout = IndexBuilder.Layout(dir)
 
@@ -68,18 +75,24 @@ object Upsert {
     // and must not block an add or be re-tombstoned. Bootstrap: the FIRST
     // batch of a streaming upsert lands on a dir with no index yet — every
     // key is an add (an empty probe side, not an error)
-    val docsCols = (keyCols :+ "docId" :+ "sha256").map(col)
-    val existing0 =
-      if (!io.exists(spark, layout.docs))
-        incoming.select(keyCs: _*).limit(0)
-          .withColumn("_oldId", lit(null).cast(LongType))
-          .withColumn("_oldSha", lit(null).cast("string"))
-      else io.read(spark, layout.docs).select(docsCols: _*)
-        .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
-    val existing = Deletes.df(spark, dir, io) match {
-      case Some(t) => existing0.join(
-        t.select(col("docId").as("_oldId")), Seq("_oldId"), "left_anti")
-      case None => existing0
+    val viaKeymap = KeyMap.validBuckets(spark, dir, keyCols)
+    val existing = viaKeymap match {
+      case Some(nb) =>
+        KeyMap.probe(spark, dir, incoming.select(keyCs: _*), keyCols, nb, io)
+      case None =>
+        val docsCols = (keyCols :+ "docId" :+ "sha256").map(col)
+        val existing0 =
+          if (!io.exists(spark, layout.docs))
+            incoming.select(keyCs: _*).limit(0)
+              .withColumn("_oldId", lit(null).cast(LongType))
+              .withColumn("_oldSha", lit(null).cast("string"))
+          else io.read(spark, layout.docs).select(docsCols: _*)
+            .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
+        Deletes.df(spark, dir, io) match {
+          case Some(t) => existing0.join(
+            t.select(col("docId").as("_oldId")), Seq("_oldId"), "left_anti")
+          case None => existing0
+        }
     }
 
     val matched = incoming.join(existing, keyCols, "left_outer")
@@ -88,9 +101,11 @@ object Upsert {
       .agg(max(when(col("_oldSha") === col("_sha"), 1).otherwise(0)).as("_hasSame"))
     val adds = incoming.join(
       keyState.filter(col("_hasSame") === 0).select(keyCs: _*), keyCols, "left_semi")
+    // tombs carry the key columns too: KeyMap.applyBatch derives the
+    // touched bucket of a tombstone from its KEY (Deletes uses docId only)
     val tombs = matched.filter(col("_oldId").isNotNull && col("_oldSha") =!= col("_sha"))
-      .select(col("_oldId").as("docId"))
-    (incoming, adds, tombs)
+      .select(col("_oldId").as("docId") +: keyCs: _*)
+    (incoming, adds, tombs, viaKeymap)
   }
 
   def upsert(spark: SparkSession, corpus: DataFrame, dir: String,
@@ -102,9 +117,16 @@ object Upsert {
     val io = params.io
     val layout = IndexBuilder.Layout(dir)
     val keyCs = keyCols.map(col)
-    val (incoming, adds, tombs) = classify(spark, corpus, dir, params, keyCols)
+    val (incoming, adds, tombs, viaKeymap) = classify(spark, corpus, dir, params, keyCols)
+
+    // marker OFF before the first index mutation (the keymap TABLE stays
+    // readable for this batch's lazy plans): a crash anywhere below leaves
+    // no marker, so the retry probes ground truth — a stale keymap is
+    // never read. Re-validated by the maintenance step at the end.
+    KeyMap.invalidate(spark, dir)
 
     val nAdds = adds.count()
+    var addRows: DataFrame = null // (keyCols..., docId, sha256) for KeyMap
     val added =
       if (nAdds == 0L) 0L
       else {
@@ -122,6 +144,8 @@ object Upsert {
         val withIds = spark.createDataFrame(
           ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i)) },
           schema)
+        addRows = withIds.select((keyCs :+ col("docId") :+
+          sha2(col("content"), 256).as("sha256")): _*)
         IndexBuilder.resume(spark, withIds, dir, params)
         nAdds
       }
@@ -131,6 +155,19 @@ object Upsert {
     val afterTotal =
       if (tombs.isEmpty) before
       else Deletes.deleteIds(spark, dir, tombs, io)
+
+    // keymap maintenance LAST (all mutations committed): incremental bucket
+    // rewrite when this batch probed through the keymap, full rebuild from
+    // ground truth otherwise (bootstrap, or something else touched the
+    // index since the last upsert). Either way the marker comes back, so
+    // the steady re-crawl loop's probe cost is O(touched buckets).
+    if (addRows == null)
+      addRows = incoming.limit(0).select((keyCs :+
+        lit(0L).as("docId") :+ col("_sha").as("sha256")): _*)
+    viaKeymap match {
+      case Some(nb) => KeyMap.applyBatch(spark, dir, addRows, tombs, keyCols, nb, io)
+      case None => KeyMap.rebuild(spark, dir, keyCols, KeyMap.DefaultBuckets, io)
+    }
     Result(added, afterTotal - before, incoming.count() - nAdds)
   }
 }

@@ -119,10 +119,14 @@ class UpsertSpec extends AnyFunSuite {
     val view = liveView(dir)
 
     // simulate the crash: segment committed (adds ran first), process died
-    // before Deletes.deleteIds -> tombstone table never written
+    // before Deletes.deleteIds -> tombstone table never written. In that
+    // window the KeyMap maintenance step never ran either, so its validity
+    // marker is absent (upsert drops it before the first mutation) — mirror
+    // that here, since this completed run restored it
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(Deletes.tombstones(dir)), true)
+    graft.index.KeyMap.invalidate(spark, dir)
     assert(liveView(dir) != view, "both versions visible inside the window")
 
     val r2 = Upsert.upsert(spark, b, dir, upsParams, key)
