@@ -178,6 +178,39 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** Full lifecycle on the SNAPSHOT-ISOLATED table layer (q71 gate,
+    * graft.io.SnapshotTableIO): straddled two-batch ingest, docId%5==2
+    * tombstoned, expunge-merge purging them, then a physical vacuum of
+    * every table (retain=1) — so the gate's BM25 answer comes from a
+    * manifest-committed, vacuumed index where every mutation since build
+    * was an atomic snapshot commit. Oracle = plain BM25 over the
+    * survivors, identical shape to q67's — proving the snapshot layer
+    * changes storage semantics (reader isolation) and nothing else. */
+  def docsIndexSnapshot(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#snap", { _ =>
+      val io = graft.io.SnapshotTableIO
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-snap"
+      val corpus = docsCorpus(spark, sfDir)
+      val maxId = corpus.agg(max(col("docId"))).collect()(0).getLong(0)
+      val p = IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+        fields = Seq("content"), io = io)
+      IndexBuilder.build(spark, corpus.filter(col("docId") <= maxId / 2), dir,
+        p.copy(inputSnapshot = "batch-0"))
+      IndexBuilder.resume(spark, corpus, dir, p.copy(inputSnapshot = "batch-1"))
+      val n = Deletes.deleteWhere(spark, dir, pmod(col("docId"), lit(5)) === 2, io)
+      require(n > 0, "snapshot gate fixture: nothing tombstoned")
+      require(Compaction.expungeDeletes(spark, dir, blockSize = 128, io).nonEmpty,
+        "snapshot gate fixture: expunge was a no-op")
+      require(Deletes.count(spark, dir, io) == 0L,
+        "snapshot gate fixture: merge must GC every tombstone")
+      val layout = IndexBuilder.Layout(dir)
+      val reclaimed = Seq(layout.docs, layout.postings, layout.dictionary,
+        layout.stats, layout.lineage, layout.metrics)
+        .map(t => graft.io.SnapshotTableIO.vacuum(spark, t, retain = 1)).sum
+      require(reclaimed > 0, "snapshot gate fixture: vacuum reclaimed nothing")
+      new SearchIndex(spark, dir, io)
+    })
+
   /** Index through the RE-CRAWL lifecycle (q68/q69 gates,
     * graft.index.Upsert): plain build, then ONE upsert batch keyed by
     * (repo, path) — ids %4==0 re-crawled with changed content (tombstone
@@ -325,6 +358,16 @@ object SparkEntry {
       // BM25 over the survivor corpus — exact stats restored
       val idx = docsIndexPurged(s, d)
       QueryEngine.search(idx, "window scan filter",
+          SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
+        .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("repo"))
+    }),
+    "q71_snapshot_bm25" -> ((s, d) => {
+      // the whole mutation history behind this answer was snapshot commits
+      // (build, resume, tombstone, expunge-merge, vacuum) on
+      // SnapshotTableIO; the page must equal plain BM25 over the survivors
+      val idx = docsIndexSnapshot(s, d)
+      QueryEngine.search(idx, "sort group data",
           SearchOpts(k = 10, overfetch = 3, diversity = false, wand = true))
         .select(col("rank").cast("long").as("rnk"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"), col("repo"))
@@ -1389,6 +1432,8 @@ SELECT source AS repo, path, doc_id, sha256(text) AS sha
 FROM docsrc WHERE NOT dead""",
     "q66_deletes_live" -> bm25Sql(Seq("spark", "merge", "join"), 10,
       diversity = false, excludeWhere = Some("doc_id % 7 = 3")),
+    "q71_snapshot_bm25" -> bm25Sql(Seq("sort", "group", "data"), 10,
+      diversity = false, docsWhere = Some("doc_id % 5 <> 2")),
     "q67_deletes_purge" -> bm25Sql(Seq("window", "scan", "filter"), 10,
       diversity = false, docsWhere = Some("doc_id % 7 <> 3")),
     "q15_bm25_multi" -> Seq(

@@ -9,7 +9,8 @@ import org.apache.spark.sql.expressions.Window
 /** Handle to a built index (IndexBuilder layout). Dictionary lookups and
   * corpus stats are tiny; they are collected once / per query and shipped in
   * task closures (the reference's "broadcast stats" shape, SURVEY §2.11). */
-class SearchIndex(val spark: SparkSession, val dir: String) {
+class SearchIndex(val spark: SparkSession, val dir: String,
+    val io: graft.io.TableIO = graft.io.ParquetTableIO) {
   private val layout = IndexBuilder.Layout(dir)
   // crash-recovery sweep: a _pending_expiry marker means a Retention expiry
   // died between its partition deletes and the derived-table refresh — the
@@ -17,8 +18,8 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
   // _pending_compaction marker means a segment merge died mid-swap (rolled
   // back or forward depending on its commit phase). One fs.exists each per
   // index open (no-op in the common case).
-  graft.index.Retention.recoverPendingExpiry(spark, dir)
-  graft.index.Compaction.recoverPendingCompaction(spark, dir)
+  graft.index.Retention.recoverPendingExpiry(spark, dir, io)
+  graft.index.Compaction.recoverPendingCompaction(spark, dir, io)
 
   /** Tombstone membership view (graft.index.Deletes — Lucene live-docs
     * semantics): loaded and broadcast ONCE per index open, never per query;
@@ -29,26 +30,26 @@ class SearchIndex(val spark: SparkSession, val dir: String) {
     * mutation. */
   @volatile private var deletesBc
       : org.apache.spark.broadcast.Broadcast[graft.index.DeleteSet] =
-    spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir))
+    spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir, io = io))
   def deletes: graft.index.DeleteSet = deletesBc.value
   private[query] def deletesBroadcast = deletesBc
   def reloadDeletes(): this.type = {
     val prev = deletesBc
-    deletesBc = spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir))
+    deletesBc = spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir, io = io))
     prev.destroy()
     this
   }
   /** The tombstone table as a DataFrame, for declarative anti-joins
     * (fallback wildcard arm). */
   private[query] def tombstonesDf: Option[DataFrame] =
-    graft.index.Deletes.df(spark, dir)
+    graft.index.Deletes.df(spark, dir, io)
 
-  lazy val docs: DataFrame = spark.read.parquet(layout.docs)
-  lazy val postings: DataFrame = spark.read.parquet(layout.postings)
-  lazy val dictionary: DataFrame = spark.read.parquet(layout.dictionary)
+  lazy val docs: DataFrame = io.read(spark, layout.docs)
+  lazy val postings: DataFrame = io.read(spark, layout.postings)
+  lazy val dictionary: DataFrame = io.read(spark, layout.dictionary)
   /** field -> (N, avgdl) */
   lazy val stats: Map[String, (Long, Double)] =
-    spark.read.parquet(layout.stats).collect()
+    io.read(spark, layout.stats).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
 
   /** Posting blocks decoded across queries on this index — executor-side

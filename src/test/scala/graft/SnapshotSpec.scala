@@ -1,0 +1,206 @@
+package graft
+
+import graft.core.CorpusGen
+import graft.index.{Compaction, Deletes, IndexBuilder, Upsert}
+import graft.io.{ParquetTableIO, SnapshotTableIO, TableIO}
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SnapshotTableIO — the Iceberg-style snapshot-isolated table layer:
+  *
+  *  - op parity: the same mutation sequence reads back identically through
+  *    SnapshotTableIO and ParquetTableIO (dynamic overwrite, full overwrite,
+  *    partition delete incl. the `*` glob, empty-result overwrite);
+  *  - full-engine differential: build → resume → tombstone → upsert →
+  *    compact on a snapshot index returns BM25 pages identical to the
+  *    plain-parquet index at every lifecycle point;
+  *  - reader isolation: a scan PLANNED before a compaction still reads its
+  *    own snapshot after the swap commits (the ADVICE-r3 gap this layer
+  *    closes — plain parquet deletes the files out from under it);
+  *  - crash atomicity: moved-but-uncommitted data files are invisible to
+  *    readers and reclaimed by vacuum;
+  *  - vacuum: physical reclaim after a metadata-only partition delete, with
+  *    the retained snapshots byte-identical before/after;
+  *  - time travel: readVersion returns the pre-mutation table;
+  *  - partition pruning survives the manifest read path.
+  */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fixture(tag: Int): DataFrame = {
+    import spark.implicits._
+    (0 until 24).map(i => (i.toLong, i % 4, s"row-$tag-$i"))
+      .toDF("id", "g", "payload")
+  }
+
+  private def rows(io: TableIO, path: String): Set[Seq[Any]] =
+    io.read(spark, path).select(col("id"), col("g").cast("int"), col("payload"))
+      .collect().map(_.toSeq).toSet
+
+  test("op parity: identical read-back vs ParquetTableIO through dynamic " +
+      "overwrite, partition delete, glob delete, full overwrite, empty write") {
+    val ps = "/tmp/graft-test/snap-par-s"
+    val pp = "/tmp/graft-test/snap-par-p"
+    val ios: Seq[(TableIO, String)] = Seq(SnapshotTableIO -> ps, ParquetTableIO -> pp)
+    ios.foreach { case (io, p) => io.drop(spark, p) }
+
+    def check(step: String): Unit =
+      assert(rows(SnapshotTableIO, ps) == rows(ParquetTableIO, pp), s"diverged after $step")
+
+    ios.foreach { case (io, p) => io.overwritePartitions(fixture(1), p, Seq("g")) }
+    check("initial write")
+    // dynamic overwrite of a subset of partitions (g=0,1 replaced; 2,3 kept)
+    ios.foreach { case (io, p) =>
+      io.overwritePartitions(fixture(2).filter(col("g") < 2), p, Seq("g")) }
+    check("dynamic partial overwrite")
+    ios.foreach { case (io, p) => io.deletePartitions(spark, p, Seq("g" -> "3")) }
+    check("partition delete")
+    ios.foreach { case (io, p) => io.deletePartitions(spark, p, Seq("g" -> "*")) }
+    assert(SnapshotTableIO.read(spark, ps).isEmpty, "glob delete must empty the table")
+    // empty snapshot still reads with the right columns (dead-bucket shape)
+    assert(SnapshotTableIO.read(spark, ps).columns.toSeq.sorted == Seq("g", "id", "payload"))
+    ios.foreach { case (io, p) => io.overwriteTable(fixture(3), p, Seq("g")) }
+    check("full overwrite after empty")
+    // empty dynamic overwrite replaces nothing
+    ios.foreach { case (io, p) =>
+      io.overwritePartitions(fixture(3).limit(0), p, Seq("g")) }
+    check("empty dynamic overwrite")
+    // vacuum must not change the current snapshot
+    val before = rows(SnapshotTableIO, ps)
+    assert(SnapshotTableIO.vacuum(spark, ps, retain = 1) > 0, "stale files expected")
+    assert(rows(SnapshotTableIO, ps) == before)
+  }
+
+  private val key = Seq("repo", "path")
+  private def corpus = CorpusGen.generateDF(spark, 160L, seed = 77L, partitions = 3)
+  private def params(io: TableIO) = IndexBuilder.Params(blockSize = 32,
+    docGroupSize = 64L, fields = Seq("content"), io = io)
+
+  private def page(idx: SearchIndex, q: String): Seq[Seq[Any]] =
+    QueryEngine.search(idx, q, SearchOpts(k = 10))
+      .select("rank", "docId", "score", "repo", "path")
+      .collect().toIndexedSeq.map(_.toSeq)
+
+  test("full engine lifecycle on SnapshotTableIO == ParquetTableIO " +
+      "(build, resume, tombstone, upsert, compact)") {
+    val dS = "/tmp/graft-test/snap-life-s"
+    val dP = "/tmp/graft-test/snap-life-p"
+    val both = Seq((SnapshotTableIO: TableIO, dS), (ParquetTableIO: TableIO, dP))
+    val queries = Seq("data merge window", "filter scan", "spark")
+
+    both.foreach { case (io, d) =>
+      IndexBuilder.deleteDir(spark, d)
+      val p = params(io)
+      IndexBuilder.build(spark, corpus.filter(col("docId") < 100), d,
+        p.copy(inputSnapshot = "b0"))
+      IndexBuilder.resume(spark, corpus, d, p.copy(inputSnapshot = "b1"))
+      Deletes.deleteWhere(spark, d, pmod(col("docId"), lit(11)) === 4, io)
+      val batch = corpus.filter(col("docId") % 6 === 0).drop("docId")
+        .withColumn("content", concat(col("content"), lit(" snapup")))
+      Upsert.upsert(spark, batch, d, p.copy(inputSnapshot = "b2"), key)
+    }
+    val (idxS, idxP) = (new SearchIndex(spark, dS, SnapshotTableIO),
+      new SearchIndex(spark, dP))
+    queries.foreach(q => assert(page(idxS, q) == page(idxP, q),
+      s"mid-lifecycle page diverged for '$q'"))
+
+    both.foreach { case (io, d) =>
+      assert(Compaction.expungeDeletes(spark, d, blockSize = 32, io).nonEmpty)
+    }
+    val (cS, cP) = (new SearchIndex(spark, dS, SnapshotTableIO),
+      new SearchIndex(spark, dP))
+    queries.foreach(q => assert(page(cS, q) == page(cP, q),
+      s"post-compaction page diverged for '$q'"))
+    // and the live doc view is identical
+    def live(idx: SearchIndex) = idx.docs.select("docId", "repo", "path", "sha256")
+      .collect().map(_.toSeq).toSet
+    assert(live(cS) == live(cP))
+  }
+
+  test("reader isolation: a scan planned before compaction keeps reading " +
+      "its snapshot after the swap (and after a metadata partition delete)") {
+    val d = "/tmp/graft-test/snap-iso"
+    IndexBuilder.deleteDir(spark, d)
+    val p = params(SnapshotTableIO)
+    IndexBuilder.build(spark, corpus.filter(col("docId") < 80), d,
+      p.copy(inputSnapshot = "b0"))
+    IndexBuilder.resume(spark, corpus, d, p.copy(inputSnapshot = "b1"))
+
+    val layout = IndexBuilder.Layout(d)
+    // plan BEFORE the mutation; action only AFTER it commits
+    val pinnedBlocks = SnapshotTableIO.read(spark, layout.postings)
+      .groupBy(col("segment")).count()
+    val preSegs = SnapshotTableIO.read(spark, layout.postings)
+      .select("segment").distinct().collect().map(_.getString(0)).toSet
+    assert(preSegs.size == 2, "fixture must be fragmented")
+
+    assert(Compaction.compact(spark, d, blockSize = 32, SnapshotTableIO).nonEmpty)
+
+    // the pre-compaction plan still executes against ITS snapshot: both old
+    // segments present, none of the merged segment — on ParquetTableIO the
+    // replaced segments' files are already deleted here
+    val pinned = pinnedBlocks.collect().map(r => r.getString(0)).toSet
+    assert(pinned == preSegs,
+      s"pinned scan leaked the swap: $pinned vs $preSegs")
+    // a FRESH read sees exactly the compacted segment
+    val post = SnapshotTableIO.read(spark, layout.postings)
+      .select("segment").distinct().collect().map(_.getString(0)).toSet
+    assert(post.size == 1 && (post -- preSegs).size == 1)
+    // the swap was metadata-only: vacuum now reclaims the old segments
+    assert(SnapshotTableIO.vacuum(spark, layout.postings, retain = 1) > 0)
+  }
+
+  test("crash atomicity: moved-but-uncommitted files are invisible and vacuumed") {
+    val t = "/tmp/graft-test/snap-crash"
+    SnapshotTableIO.drop(spark, t)
+    SnapshotTableIO.overwriteTable(fixture(1), t, Seq("g"))
+    val before = rows(SnapshotTableIO, t)
+
+    // simulate the crash window: a data file landed in a partition dir but
+    // the manifest rename never happened — copy a live file under a fake
+    // commit name
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/g=1"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(s"$t/g=1/cdeadbeef0000-${anyFile.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, anyFile, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+
+    assert(rows(SnapshotTableIO, t) == before, "orphan file leaked into a read")
+    assert(SnapshotTableIO.vacuum(spark, t, retain = 1) == 1L)
+    assert(!fs.exists(orphan))
+    assert(rows(SnapshotTableIO, t) == before)
+  }
+
+  test("time travel: readVersion returns the pre-mutation table") {
+    val t = "/tmp/graft-test/snap-tt"
+    SnapshotTableIO.drop(spark, t)
+    SnapshotTableIO.overwriteTable(fixture(1), t, Seq("g"))
+    val v1 = SnapshotTableIO.currentVersion(spark, t).get
+    val then_ = rows(SnapshotTableIO, t)
+    SnapshotTableIO.overwritePartitions(fixture(2).filter(col("g") === 0), t, Seq("g"))
+    SnapshotTableIO.deletePartitions(spark, t, Seq("g" -> "2"))
+    assert(rows(SnapshotTableIO, t) != then_)
+    val back = SnapshotTableIO.readVersion(spark, t, v1)
+      .select(col("id"), col("g").cast("int"), col("payload"))
+      .collect().map(_.toSeq).toSet
+    assert(back == then_, "time travel must reproduce snapshot v1")
+  }
+
+  test("partition pruning survives the manifest read path") {
+    val t = "/tmp/graft-test/snap-prune"
+    SnapshotTableIO.drop(spark, t)
+    SnapshotTableIO.overwriteTable(fixture(1), t, Seq("g"))
+    val q = SnapshotTableIO.read(spark, t).filter(col("g") === 2)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.nonEmpty && scan.head.toString.contains("PartitionFilters"))
+    assert(scan.head.selectedPartitions.partitionCount == 1,
+      "scan must prune to the one matching partition")
+    assert(q.count() == 6)
+  }
+}
