@@ -67,7 +67,11 @@ object Bench {
       wandMeanSec: Double = 0, servingDictResidentTerms: Double = 0,
       skewedRefBlockSkip: Double = 0, servingChunkP50Ms: Double = 0,
       servingChunkP95Ms: Double = 0, servingBlockCacheBytes: Double = 0,
-      fuzzyDpRows: Double = 0, fuzzyDpRowsUnfiltered: Double = 0)
+      fuzzyDpRows: Double = 0, fuzzyDpRowsUnfiltered: Double = 0,
+      // serving throughput at cpus/4 threads in the SAME JVM/window as the
+      // cpus-thread probe: the query-side scaling pair must not straddle
+      // two child processes minutes apart (same lesson as the build pairs)
+      servingParQpsQuarter: Double = 0)
 
   /** Block-skip probe on a tf-SKEWED corpus (the reference-query corpus is
     * deliberately tf-flat, where block maxima are all alike and block-level
@@ -317,6 +321,19 @@ object Bench {
       futures.foreach(_.get())
       val servingParSec = (System.nanoTime() - pq0) / 1e9
       pool.shutdown()
+      // the SAME probe at cpus/4 threads, in the same JVM+window: this is
+      // the query-side N-vs-4N pair (a pair split across two child runs
+      // minutes apart measures host drift, not thread scaling)
+      val qThreads = math.max(1, cpus / 4)
+      val poolQ = _root_.java.util.concurrent.Executors.newFixedThreadPool(qThreads)
+      val pq1 = System.nanoTime()
+      parBatch.map { q =>
+        poolQ.submit(new Runnable {
+          def run(): Unit = { graft.query.LocalSearcher.search(li, q, opts); () }
+        })
+      }.foreach(_.get())
+      val servingParQuarterSec = (System.nanoTime() - pq1) / 1e9
+      poolQ.shutdown()
 
       // north-rule build metrics (postings emitted, bytes compressed,
       // merge fan-in) from the metrics table
@@ -336,7 +353,7 @@ object Bench {
         servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery,
         skewSkip, exhaustiveMean, wandMean, dictResident, skewRefSkip,
         chunkP50, chunkP95, li.residentBlockBytes.toDouble,
-        fuzzyDp, fuzzyDpAll)
+        fuzzyDp, fuzzyDpAll, parBatch.size / servingParQuarterSec)
     } finally spark.stop()
   }
 
@@ -548,17 +565,17 @@ object Bench {
       r.skewedBlockSkipRatio, r.exhaustiveMeanSec, r.wandMeanSec,
       r.servingDictResidentTerms, r.skewedRefBlockSkip,
       r.servingChunkP50Ms, r.servingChunkP95Ms, r.servingBlockCacheBytes,
-      r.fuzzyDpRows, r.fuzzyDpRowsUnfiltered) ++
+      r.fuzzyDpRows, r.fuzzyDpRowsUnfiltered, r.servingParQpsQuarter) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(30).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(31).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
       xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16), xs(17),
       xs(18), xs(19), xs(20), xs(21), xs(22), xs(23), xs(24), xs(25), xs(26),
-      xs(27), xs(28), xs(29))
+      xs(27), xs(28), xs(29), xs(30))
   }
 
   /** Spawn `graft.Bench <args>` in a child JVM and return its marked output
@@ -782,7 +799,14 @@ object Bench {
           compactionProbe(32, math.max(nDocs / 4, 5000L), seed) :+
             ("compaction_in_process" -> 1.0)
       }
-    val effQuery = (high.servingParQps / low.servingParQps) / 4.0
+    // query-side scaling from the c32 child's OWN same-window thread pair
+    // (8 -> 32 threads over the same resident index); the cross-child pair
+    // is kept in the json for transparency but is window-lottery-bound
+    val effQuery =
+      if (high.servingParQpsQuarter > 0)
+        (high.servingParQps / high.servingParQpsQuarter) / 4.0
+      else (high.servingParQps / low.servingParQps) / 4.0
+    val effQueryCross = (high.servingParQps / low.servingParQps) / 4.0
 
     val entries: Seq[(String, Double)] =
       high.latencies.toSeq.sortBy(_._1) ++ Seq(
@@ -804,6 +828,9 @@ object Bench {
         "serving_qps_c32" -> high.servingQps,
         "serving_par_qps_c8" -> low.servingParQps,
         "serving_par_qps_c32" -> high.servingParQps,
+        // same-JVM quarter-thread probe feeding scaling_eff_query_8to32
+        "serving_par_qps_t8_samejvm_c32" -> high.servingParQpsQuarter,
+        "scaling_eff_query_8to32_crossrun" -> effQueryCross,
         // serving dictionary footprint: terms resident in the bounded hot
         // cache after the query mix (the full-vocabulary map is gone)
         "serving_dict_resident_terms_c32" -> high.servingDictResidentTerms,
@@ -900,18 +927,20 @@ object Bench {
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = low.buildSec + high.buildSec +
       low.latencies.values.sum + high.latencies.values.sum
-    def jsonLine(queries: String) =
-      s"""{"metric":"build+query total (c8+c32, $nDocs files)","value":$total,"unit":"sec","queries":$queries,"sf":"$sfDir"}"""
+    def jsonLine(metric: String, queries: String) =
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$queries,"sf":"$sfDir"}"""
     // full detail line first ...
-    println(jsonLine(qs))
+    println(jsonLine(s"build+query total (c8+c32, $nDocs files)", qs))
     // ... then the COMPACT headline line LAST: the driver keeps only the
     // final ~2000 chars of stdout, and in round 3 that truncation beheaded
     // the full line (every serving/build key lost, "parsed": null). This
-    // line is a complete, parseable artifact of the same shape, small
-    // enough that the tail window can never cut it.
+    // line is a complete, parseable artifact of the same shape, and MUST
+    // stay well under the tail window net of the runner's trailing
+    // "[success] ..." line (~81 chars): short metric label, %.5g values,
+    // ~1.7k chars at 45 keys — re-measure before adding headline keys.
     val entryMap = entries.toMap
     val compact = HeadlineKeys.flatMap(k => entryMap.get(k).map(v =>
-      s""""$k":${f"$v%.6g".trim}""")).mkString("{", ",", "}")
-    println(jsonLine(compact))
+      s""""$k":${f"$v%.5g".trim}""")).mkString("{", ",", "}")
+    println(jsonLine(s"headline (c8+c32, $nDocs files)", compact))
   }
 }

@@ -40,7 +40,8 @@ object StreamingIndexer {
   def runAvailableNow(spark: SparkSession, inputDir: String, schema: StructType,
       indexDir: String, checkpointDir: String,
       params: IndexBuilder.Params = IndexBuilder.Params(),
-      segmentPrefix: String = "epoch", maxSegments: Int = 0): Unit = {
+      segmentPrefix: String = "epoch", maxSegments: Int = 0,
+      vacuumRetain: Int = 0): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 4) // backpressure (reference S8/K6 analog)
@@ -62,6 +63,13 @@ object StreamingIndexer {
           if (maxSegments > 0) {
             graft.index.Compaction.compactToBudget(spark, indexDir, maxSegments,
               params.blockSize, params.io)
+            ()
+          }
+          // snapshot-storage debt stays bounded on an infinite stream, like
+          // segment count (budget merge) and dead docs (purge-at-merge);
+          // no-op on in-place parquet io
+          if (vacuumRetain > 0) {
+            graft.index.Vacuum.vacuumIndex(spark, indexDir, vacuumRetain, params.io)
             ()
           }
         }
@@ -92,7 +100,8 @@ object StreamingIndexer {
   def runUpsertAvailableNow(spark: SparkSession, inputDir: String,
       schema: StructType, indexDir: String, checkpointDir: String,
       keyCols: Seq[String], params: IndexBuilder.Params = IndexBuilder.Params(),
-      segmentPrefix: String = "recrawl", maxSegments: Int = 0): Unit = {
+      segmentPrefix: String = "recrawl", maxSegments: Int = 0,
+      vacuumRetain: Int = 0): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 4)
@@ -107,6 +116,10 @@ object StreamingIndexer {
           if (maxSegments > 0) {
             graft.index.Compaction.compactToBudget(spark, indexDir, maxSegments,
               params.blockSize, params.io)
+            ()
+          }
+          if (vacuumRetain > 0) { // bounded snapshot-storage debt (see above)
+            graft.index.Vacuum.vacuumIndex(spark, indexDir, vacuumRetain, params.io)
             ()
           }
         }

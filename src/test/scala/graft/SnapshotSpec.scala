@@ -191,6 +191,86 @@ class SnapshotSpec extends AnyFunSuite {
     assert(back == then_, "time travel must reproduce snapshot v1")
   }
 
+  test("streaming re-crawl on SnapshotTableIO: correct live view, bounded " +
+      "snapshot debt via per-batch vacuum, no orphans after final reclaim") {
+    import spark.implicits._
+    val base = "/tmp/graft-test/snap-stream"
+    IndexBuilder.deleteDir(spark, base)
+    val input = s"$base/in"
+    val indexDir = s"$base/index"
+    val p = IndexBuilder.Params(blockSize = 32, docGroupSize = 64L,
+      fields = Seq("content"), io = SnapshotTableIO)
+
+    def gen(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).map(i => (i, CorpusGen.row(41L, i)))
+        .select(col("_2.repo").as("repo"), col("_2.path").as("path"),
+          col("_2.commit").as("commit"), col("_2.lang").as("lang"),
+          col("_2.content").as("content"))
+
+    gen(0L, 120L, 4).write.mode("overwrite").parquet(input)
+    val schema = spark.read.parquet(input).schema
+    def run(): Unit = graft.streaming.StreamingIndexer.runUpsertAvailableNow(
+      spark, input, schema, indexDir, s"$base/ckpt", key, p,
+      maxSegments = 3, vacuumRetain = 2)
+    run()
+    val changed = gen(0L, 40L, 2)
+      .withColumn("content", concat(col("content"), lit(" zzedit refreshed")))
+    changed.unionByName(gen(40L, 120L, 2)).unionByName(gen(120L, 150L, 2))
+      .write.mode("append").parquet(input)
+    run()
+
+    // live (key, sha) view equals the final crawl state — through many
+    // snapshot commits (resumes, upserts, tombstones, budget merges) with
+    // vacuum running after every micro-batch
+    val idx = new SearchIndex(spark, indexDir, SnapshotTableIO)
+    val dead = graft.index.Deletes.df(spark, indexDir, SnapshotTableIO)
+      .get.select("docId")
+    val liveShas = idx.docs.join(dead, Seq("docId"), "left_anti")
+      .select("repo", "path", "sha256")
+      .as[(String, String, String)].collect().toSet
+    val wantShas = changed.unionByName(gen(40L, 120L, 2))
+      .unionByName(gen(120L, 150L, 2))
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .as[(String, String, String)].collect().toSet
+    assert(liveShas == wantShas, "live view != final crawl state")
+    val zz = QueryEngine.search(idx, "zzedit", SearchOpts(k = 60, diversity = false))
+      .collect()
+    assert(zz.length == 40 && zz.forall(_.getAs[Long]("docId") >= 120L),
+      "stale versions surfaced (or fresh ones missing) in search")
+
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifests(table: String): Int = {
+      val d = new org.apache.hadoop.fs.Path(s"$table/_manifests")
+      if (!fs.exists(d)) 0 else fs.listStatus(d).count(_.getPath.getName.endsWith(".manifest"))
+    }
+    val layout = IndexBuilder.Layout(indexDir)
+    Seq(layout.docs, layout.postings, layout.dictionary, layout.lineage)
+      .foreach(t => assert(manifests(t) <= 2,
+        s"vacuumRetain=2 violated at $t: ${manifests(t)} manifests"))
+
+    // final reclaim to horizon 1: physical files == exactly the current
+    // snapshot's file list (zero orphans, zero history)
+    graft.index.Vacuum.vacuumIndex(spark, indexDir, retain = 1, SnapshotTableIO)
+    def physicalParquet(table: String): Int = {
+      def walk(d: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(d).map { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory)
+            (if (n == "_manifests" || n == "_staging") 0 else walk(st.getPath))
+          else if (n.endsWith(".parquet")) 1 else 0
+        }.sum
+      walk(new org.apache.hadoop.fs.Path(table))
+    }
+    Seq(layout.docs, layout.postings).foreach { t =>
+      assert(physicalParquet(t) == SnapshotTableIO.read(spark, t).inputFiles.length,
+        s"orphan files survive the final vacuum at $t")
+    }
+    // and the index still answers identically after the reclaim
+    val idx2 = new SearchIndex(spark, indexDir, SnapshotTableIO)
+    assert(page(idx2, "zzedit") == page(idx, "zzedit"))
+  }
+
   test("partition pruning survives the manifest read path") {
     val t = "/tmp/graft-test/snap-prune"
     SnapshotTableIO.drop(spark, t)
