@@ -481,6 +481,115 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Steady-state re-crawl classification probe ([[graft.index.KeyMap]]):
+    * the upsert's probe side at TWO index sizes (1x and 4x) for a
+    * locality-keyed batch (every live doc of the 8 biggest repos). The full
+    * docs-table probe is O(index) — its time must grow with the corpus —
+    * while the keymap probe reads only the batch's buckets and must stay
+    * ~flat. Both paths are also differential-checked (same add count) and
+    * the complete upsert (classification + segment append + tombstones +
+    * keymap maintenance) is timed at the 4x size. */
+  def upsertProbe(cpus: Int, baseDocs: Long, seed: Long): Seq[(String, Double)] = {
+    val spark = session(cpus)
+    try {
+      import org.apache.spark.sql.functions.{col, concat, desc, lit, pmod, xxhash64}
+      val key = Seq("repo", "path")
+      val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+        fields = Seq("content"))
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      var bucketsTouched = 0.0
+      // planned scan volume of a probe plan: the file bytes its (pruned)
+      // scan selects — the axis the keymap actually changes. Local wall
+      // time is floor-bound by per-action scheduling (~0.5-1 s/job), which
+      // is exactly what a driver on a real cluster amortizes away.
+      def scanBytes(df: org.apache.spark.sql.DataFrame): Double =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            // post-pruning file bytes (inputFiles would list the whole
+            // relation BEFORE partition pruning and overstate the read)
+            sc.selectedPartitions.totalFileSize.toDouble
+        }.sum
+      def at(n: Long, tag: String): (Double, Double, Double, Double, String) = {
+        val dir = s"/tmp/graft-bench/upsert-$tag"
+        IndexBuilder.deleteDir(spark, dir)
+        val corpus = CorpusGen.generateDF(spark, n, seed, partitions = cpus * 4)
+        IndexBuilder.build(spark, corpus, dir, params)
+        // buckets provisioned with the corpus (~390 keys/bucket) — the
+        // KeyMap contract that keeps the probe O(batch), not O(corpus/256)
+        val nb = math.max(64, (n / 390).toInt)
+        graft.index.KeyMap.rebuild(spark, dir, key, nb)
+        // the re-crawl batch: every doc of the 8 biggest repos, changed
+        val repos = corpus.groupBy(col("repo")).count()
+          .orderBy(desc("count"), col("repo")).limit(8)
+          .collect().map(_.getString(0)).toIndexedSeq
+        val batch = corpus.filter(col("repo").isin(repos: _*)).drop("docId")
+          .withColumn("content", concat(col("content"), lit(" recrawled")))
+        batch.cache().count()
+        bucketsTouched = batch
+          .select(pmod(xxhash64(col("repo")), lit(nb.toLong)).as("b"))
+          .distinct().count().toDouble
+        val bytesK = scanBytes(graft.index.KeyMap.probe(spark, dir,
+          batch.select("repo", "path"), key, nb))
+        val bytesF = scanBytes(params.io.read(spark,
+          IndexBuilder.Layout(dir).docs))
+        // keymap-probed classification (marker valid after rebuild)
+        val (ak, tK) = timed {
+          val (_, adds, _, via) =
+            graft.index.Upsert.classify(spark, batch, dir, params, key)
+          require(via.nonEmpty, "upsert probe: keymap marker must be valid")
+          adds.count()
+        }
+        // ground-truth classification (marker dropped)
+        graft.index.KeyMap.invalidate(spark, dir)
+        val (af, tF) = timed {
+          val (_, adds, _, via) =
+            graft.index.Upsert.classify(spark, batch, dir, params, key)
+          require(via.isEmpty, "upsert probe: fallback path expected")
+          adds.count()
+        }
+        require(ak == af, s"probe paths classified differently: $ak vs $af")
+        batch.unpersist()
+        (tK, tF, bytesK, bytesF, dir)
+      }
+      val (k1, f1, bk1, bf1, _) = at(baseDocs, "1x")
+      val (k4, f4, bk4, bf4, dir4) = at(baseDocs * 4, "4x")
+      // a complete upsert batch at the 4x size (the steady-loop unit cost);
+      // rebuild the marker first so it runs the keymap path end-to-end
+      graft.index.KeyMap.rebuild(spark, dir4, key,
+        math.max(64, (baseDocs * 4 / 390).toInt))
+      val corpus4 = CorpusGen.generateDF(spark, baseDocs * 4, seed,
+        partitions = cpus * 4)
+      val batch4 = corpus4.filter(pmod(col("docId"), lit(37L)) === 3L)
+        .drop("docId")
+        .withColumn("content", concat(col("content"), lit(" recrawled2")))
+      val (_, upsSec) = timed(graft.index.Upsert.upsert(spark, batch4, dir4,
+        params.copy(inputSnapshot = "probe-recrawl"), key))
+      Seq(
+        "upsert_probe_docs_1x" -> baseDocs.toDouble,
+        "upsert_probe_sec_keymap_1x" -> k1,
+        "upsert_probe_sec_full_1x" -> f1,
+        "upsert_probe_sec_keymap_4x" -> k4,
+        "upsert_probe_sec_full_4x" -> f4,
+        // planned probe-scan bytes: the full path reads the whole docs
+        // table (grows with the corpus), the keymap path reads only the
+        // batch's buckets (grows with the BATCH) — the O() claim as a
+        // measured counter. Local wall times above are per-action
+        // scheduling floor, recorded for honesty, not the claim.
+        "upsert_probe_scan_mb_keymap_1x" -> bk1 / 1e6,
+        "upsert_probe_scan_mb_full_1x" -> bf1 / 1e6,
+        "upsert_probe_scan_mb_keymap_4x" -> bk4 / 1e6,
+        "upsert_probe_scan_mb_full_4x" -> bf4 / 1e6,
+        "upsert_probe_scan_growth_full" -> (if (bf1 > 0) bf4 / bf1 else 0.0),
+        "upsert_probe_scan_growth_keymap" -> (if (bk1 > 0) bk4 / bk1 else 0.0),
+        "upsert_probe_scan_reduction_4x" -> (if (bk4 > 0) bf4 / bk4 else 0.0),
+        "upsert_probe_buckets_touched" -> bucketsTouched,
+        "upsert_probe_buckets_total" -> 256.0,
+        "recrawl_upsert_sec_4x" -> upsSec)
+    } finally spark.stop()
+  }
+
   def membwSec(threads: Int, totalPasses: Int = 32): Double = {
     val pool = _root_.java.util.concurrent.Executors.newFixedThreadPool(threads)
     val arr = membwArray
@@ -662,7 +771,9 @@ object Bench {
     "compaction_sec", "compaction_blocks_before", "compaction_blocks_after",
     "query_p50_sec_fragmented_c32", "query_p50_sec_compacted_c32",
     "deletes_tombstoned", "delete_apply_sec", "query_p50_sec_live_deletes_c32",
-    "expunge_deletes_sec", "query_p50_sec_purged_c32")
+    "expunge_deletes_sec", "query_p50_sec_purged_c32",
+    "upsert_probe_scan_growth_full", "upsert_probe_scan_growth_keymap",
+    "upsert_probe_scan_reduction_4x")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -685,6 +796,14 @@ object Bench {
         .mkString("{", ",", "}"))
       println(entries.map { case (k, v) => s"$k=$v" }
         .mkString("BENCHCOMPACT ", ",", ""))
+      return
+    }
+    if (args.nonEmpty && args(0) == "upsert") { // probe child / dev mode
+      val entries = upsertProbe(32, math.max(nDocs / 2, 2500L), seed)
+      println(entries.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+      println(entries.map { case (k, v) => s"$k=$v" }
+        .mkString("BENCHUPSERT ", ",", ""))
       return
     }
     if (args.nonEmpty) { // child mode: one level, machine-readable line
@@ -802,6 +921,21 @@ object Bench {
     // query-side scaling from the c32 child's OWN same-window thread pair
     // (8 -> 32 threads over the same resident index); the cross-child pair
     // is kept in the json for transparency but is window-lottery-bound
+    // steady-state re-crawl probe (keymap vs full classification at two
+    // index sizes) — child JVM like compaction, for clean heap/JIT state
+    val upsertEntries =
+      try childLine(Seq("upsert"), "BENCHUPSERT ")
+        .stripPrefix("BENCHUPSERT ").split(",").toSeq.map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> v.toDouble
+        }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] upsert child failed (${e.getMessage}); running in-process")
+          upsertProbe(32, math.max(nDocs / 2, 2500L), seed) :+
+            ("upsert_probe_in_process" -> 1.0)
+      }
     val effQuery =
       if (high.servingParQpsQuarter > 0)
         (high.servingParQps / high.servingParQpsQuarter) / 4.0
@@ -923,7 +1057,8 @@ object Bench {
         "scaling_eff_build_8to32_best_normalized" -> overValid(normSamples).max,
         "scaling_eff_query_8to32" -> effQuery,
         "scaling_eff_query_8to32_normalized" ->
-          (if (spinEff > 0) effQuery / spinEff else 0.0)) ++ compaction
+          (if (spinEff > 0) effQuery / spinEff else 0.0)) ++ compaction ++
+      upsertEntries
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = low.buildSec + high.buildSec +
       low.latencies.values.sum + high.latencies.values.sum

@@ -105,6 +105,18 @@ object ExplainDump {
       upsBatch.limit(40).select("repo", "path"), Seq("repo", "path"),
       graft.index.KeyMap.DefaultBuckets)
 
+    // snapshot table layer: the same postings scan through SnapshotTableIO
+    // — an explicit immutable FILE LIST (reader isolation), with partition
+    // pruning and predicate pushdown intact
+    val snapDir = "/tmp/graft-explain/snap"
+    graft.io.SnapshotTableIO.drop(spark, snapDir)
+    graft.io.SnapshotTableIO.overwritePartitions(
+      spark.read.parquet(s"$dir/postings"), snapDir, Seq("docGroup", "segment"))
+    val snapScan = graft.io.SnapshotTableIO.read(spark, snapDir)
+      .filter(col("field") === "content" && col("term") === "python")
+      .filter(col("docGroup") === 0L)
+      .select("term", "firstDocId", "maxTf")
+
     val md = s"""# EXPLAIN — physical plans of the engine's hot paths
        |
        |Captured by `runMain graft.bench.ExplainDump` (2k-doc index,
@@ -153,6 +165,13 @@ object ExplainDump {
        |   and resolves add/no-op/update per key with ordinary
        |   hash-aggregate + semi-join — no driver-side id set at any point,
        |   so classification scales with the BATCH, not the index;
+       |13. the snapshot table layer (SnapshotTableIO) changes WHAT files a
+       |   scan reads — the manifest's immutable list, so readers are
+       |   isolated from concurrent commits — but not HOW: the file-list
+       |   scan below keeps `PartitionFilters` and `PushedFilters` intact
+       |   (same pruning as the path-discovered scan), and every mutation
+       |   is one staged write + one atomic manifest rename, never a
+       |   rewrite of live files;
        |12. in the steady re-crawl loop the probe side goes through the
        |   KeyMap sidecar instead: a bucket-partitioned live
        |   (key -> docId, sha256) table whose scan prunes on the keyBucket
@@ -244,6 +263,12 @@ object ExplainDump {
        |
        |```
        |${fmt(kmProbe)}
+       |```
+       |
+       |## 13. Snapshot-layer postings scan — manifest file list, pruning intact
+       |
+       |```
+       |${fmt(snapScan)}
        |```
        |""".stripMargin
     Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), md)

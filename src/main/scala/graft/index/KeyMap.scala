@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * nothing. Hot first-keys skew a bucket; that costs a larger probe/rewrite
   * for batches touching it, never correctness.
   *
+  * Probe cost = touched buckets × bucket size, so `nBuckets` must be
+  * PROVISIONED with the corpus (aim for a fixed bucket size, e.g.
+  * corpus-keys / 10^5 buckets): with bucket size bounded, the probe reads
+  * O(batch); with the 256-bucket default on a huge corpus it degrades to a
+  * fixed 1/256th-of-the-key-table scan (still a 256× reduction, no longer
+  * flat). The marker records nBuckets, so any rebuild may re-provision.
+  * Each bucket is written as ONE file (repartition by bucket before the
+  * write) — tiny-file footer overhead otherwise exceeds the data read.
+  *
   * CONSISTENCY: the keymap is fully derived from docs ⊖ tombstones, and a
   * `_keymap_ok` marker (holding keyCols + nBuckets) asserts it is current.
   * Every OTHER mutation path (plain resume, deletes, retention expiry)
@@ -140,6 +149,11 @@ object KeyMap {
       val next = existing
         .join(tombIds.select(col("docId")), Seq("docId"), "left_anti")
         .unionByName(addRows)
+        // one file per touched bucket: without this, every bucket holds a
+        // file per shuffle partition and a probe pays file-count overhead
+        // instead of data volume (measured: 8 buckets cost MORE bytes than
+        // the full docs scan before this repartition)
+        .repartition(col("keyBucket"))
       // `next` reads the buckets the deletes below remove — stage it to
       // disk first (a cache() can be evicted and recompute over the deleted
       // files; a staged table cannot). Crash anywhere: marker stays absent,
@@ -169,7 +183,8 @@ object KeyMap {
       case Some(t) => live0.join(t.select("docId"), Seq("docId"), "left_anti")
       case None => live0
     }
-    io.overwriteTable(live.withColumn("keyBucket", bucketOf(keyCols, nBuckets)),
+    io.overwriteTable(live.withColumn("keyBucket", bucketOf(keyCols, nBuckets))
+        .repartition(col("keyBucket")), // one file per bucket (see applyBatch)
       table(dir), Seq("keyBucket"))
     writeMarker(spark, dir, keyCols, nBuckets)
   }
