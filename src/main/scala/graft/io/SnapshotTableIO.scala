@@ -25,12 +25,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   path/_staging/<commit>/               transient writer scratch
   * }}}
   *
-  * Manifest = schema json + partition cols + the RELATIVE file list of the
-  * snapshot. COMMIT is one atomic `rename(tmp, v<N+1>.manifest)` — rename
-  * onto an existing path fails on HDFS/local semantics, so claiming version
-  * N+1 is exclusive (the engine additionally serializes writers with the
-  * writer lease). The current snapshot is simply the highest committed
-  * version; there is no mutable pointer file to torn-write.
+  * Manifest = schema json + partition cols + the snapshot's RELATIVE file
+  * list — written either FULL or as a DELTA (`#delta <parent>` + `+file` /
+  * `-file` lines), so the steady-state commit writes O(changed files), not
+  * O(table files); chains are rebased to a full manifest every [[MaxChain]]
+  * commits, bounding read-side folding. COMMIT is one atomic
+  * `rename(tmp, v<N+1>.manifest)` — rename onto an existing path fails on
+  * HDFS/local semantics, so claiming version N+1 is exclusive (the engine
+  * additionally serializes writers with the writer lease). The current
+  * snapshot is simply the highest committed version; there is no mutable
+  * pointer file to torn-write. Manifest volume is metadata-scale: file
+  * count tracks PARTITIONS (docGroup × segment), not rows, and compaction /
+  * retention shrink it like any other table state.
   *
   * The four TableIO ops map to metadata-only commits:
   *  - `overwritePartitions` (dynamic): stage data files, move them into the
@@ -74,9 +80,19 @@ object SnapshotTableIO extends TableIO {
     if (i < 0) "" else rel.substring(0, i)
   }
 
-  /** (version, schemaJson, partitionCols, relative files) */
+  /** Resolved snapshot: `files` is the full list after folding any delta
+    * chain; `depth` = chain length back to the nearest full manifest (0 =
+    * this manifest is full on disk). */
   private[io] final case class Manifest(version: Long, schemaJson: String,
-      partitionCols: Seq[String], files: Seq[String])
+      partitionCols: Seq[String], files: Seq[String], depth: Int)
+
+  /** A delta chain longer than this is rebased: the next commit writes a
+    * full manifest. Bounds read-side folding to <= MaxChain small text
+    * files while keeping the steady-state commit O(changed files) — the
+    * per-micro-batch O(table-files) full rewrite would otherwise become
+    * the manifest-side analog of the derived-refresh cost the engine
+    * already made incremental. */
+  private val MaxChain = 8
 
   private def manifestPath(path: String, v: Long) =
     new Path(f"$path/$ManifestDir/v$v%09d.manifest")
@@ -94,46 +110,81 @@ object SnapshotTableIO extends TableIO {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     listVersions(fsOf(spark, path), path).lastOption
 
-  private def readManifest(spark: SparkSession, path: String,
-      v: Long): Manifest = {
+  private def rawLines(spark: SparkSession, path: String, v: Long): List[String] = {
     val fs = fsOf(spark, path)
     val in = fs.open(manifestPath(path, v))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    // line 1: schema json; line 2: partition cols (may be empty); rest: files
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Parent version if manifest `v` is a delta (header `#delta <parent>`). */
+  private def parentOf(lines: List[String]): Option[Long] =
+    lines.drop(2).headOption.filter(_.startsWith("#delta "))
+      .flatMap(_.stripPrefix("#delta ").trim.toLongOption)
+
+  /** Read manifest `v`, folding its delta chain (bounded by [[MaxChain]]).
+    * Line 1: schema json; line 2: partition cols; then EITHER plain file
+    * lines (full manifest) OR `#delta <parent>` followed by `+file` /
+    * `-file` lines. */
+  private def readManifest(spark: SparkSession, path: String,
+      v: Long): Manifest = {
+    val lines = rawLines(spark, path, v)
     require(lines.nonEmpty, s"empty manifest v$v at $path")
     val pcols = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
       .map(_.split(",", -1).toSeq).getOrElse(Seq.empty)
-    Manifest(v, lines.head, pcols, lines.drop(2).filter(_.nonEmpty))
+    val body = lines.drop(2).filter(_.nonEmpty)
+    parentOf(lines) match {
+      case None => Manifest(v, lines.head, pcols, body, depth = 0)
+      case Some(pv) =>
+        val parent = readManifest(spark, path, pv)
+        val removes = body.collect { case l if l.startsWith("-") => l.tail }.toSet
+        val adds = body.collect { case l if l.startsWith("+") => l.tail }
+        Manifest(v, lines.head, pcols,
+          (parent.files.filterNot(removes) ++ adds).sorted, parent.depth + 1)
+    }
   }
 
   private def current(spark: SparkSession, path: String): Option[Manifest] =
     currentVersion(spark, path).map(readManifest(spark, path, _))
 
-  /** Atomic commit: write to a temp name, rename to v<N+1>. The writer lease
-    * serializes engine writers; the rename-no-clobber claim makes even a
-    * rogue concurrent commit fail loudly instead of corrupting. */
-  private def commit(spark: SparkSession, path: String, schemaJson: String,
-      partitionCols: Seq[String], files: Seq[String]): Long = {
+  /** Atomic commit of a raw manifest body: write to a temp name, rename to
+    * v<N+1>. The writer lease serializes engine writers, so a failed
+    * rename-no-clobber claim means a ROGUE concurrent writer — fail loudly
+    * rather than retry (a retry could attach a stale parent/file list and
+    * silently drop the racer's commit). */
+  private def commitRaw(spark: SparkSession, path: String, body: String): Long = {
     val fs = fsOf(spark, path)
     fs.mkdirs(new Path(s"$path/$ManifestDir"))
-    val body = (schemaJson +: partitionCols.mkString(",") +: files.sorted)
-      .mkString("\n")
-    var attempt = 0
-    while (true) {
-      val next = listVersions(fs, path).lastOption.getOrElse(0L) + 1
-      val tmp = new Path(s"$path/$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, manifestPath(path, next))) return next
+    val next = listVersions(fs, path).lastOption.getOrElse(0L) + 1
+    val tmp = new Path(s"$path/$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, manifestPath(path, next))) {
       fs.delete(tmp, false)
-      attempt += 1
-      require(attempt < 50, s"could not claim a manifest version at $path " +
-        "(a concurrent writer is committing outside the writer lease)")
+      throw new IllegalStateException(s"lost manifest claim v$next at $path " +
+        "— a concurrent writer is committing outside the writer lease")
     }
-    -1L // unreachable
+    next
   }
+
+  /** Full-manifest commit. */
+  private def commit(spark: SparkSession, path: String, schemaJson: String,
+      partitionCols: Seq[String], files: Seq[String]): Long =
+    commitRaw(spark, path,
+      (schemaJson +: partitionCols.mkString(",") +: files.sorted).mkString("\n"))
+
+  /** Delta commit against `parent` — O(changed files) on disk — unless the
+    * chain is at [[MaxChain]], in which case it rebases to a full manifest
+    * (bounding read-side folding). */
+  private def commitDelta(spark: SparkSession, path: String, parent: Manifest,
+      schemaJson: String, partitionCols: Seq[String],
+      adds: Seq[String], removes: Seq[String]): Long =
+    if (parent.depth + 1 > MaxChain)
+      commit(spark, path, schemaJson, partitionCols,
+        (parent.files.filterNot(removes.toSet) ++ adds).sorted)
+    else commitRaw(spark, path,
+      (schemaJson +: partitionCols.mkString(",") +: s"#delta ${parent.version}" +:
+        (removes.sorted.map("-" + _) ++ adds.sorted.map("+" + _))).mkString("\n"))
 
   /** Stage `df` as parquet and move its files into the table's standard
     * partition directories under commit-unique names. Returns the relative
@@ -209,14 +260,16 @@ object SnapshotTableIO extends TableIO {
     val spark = df.sparkSession
     val schemaJson = df.schema.json
     val files = stageFiles(df, path, partitionCols)
-    val kept = current(spark, path) match {
+    current(spark, path) match {
       case Some(old) if partitionCols.nonEmpty =>
-        // dynamic semantics: replace exactly the partitions present in df
+        // dynamic semantics: replace exactly the partitions present in df —
+        // as a delta (adds + removed old files of the replaced partitions)
         val replaced = files.map(partitionPathOf).toSet
-        old.files.filterNot(f => replaced.contains(partitionPathOf(f)))
-      case _ => Seq.empty // full overwrite (unpartitioned), or fresh table
+        val removes = old.files.filter(f => replaced.contains(partitionPathOf(f)))
+        commitDelta(spark, path, old, schemaJson, partitionCols, files, removes)
+      case _ => // full overwrite (unpartitioned), or fresh table
+        commit(spark, path, schemaJson, partitionCols, files)
     }
-    commit(spark, path, schemaJson, partitionCols, kept ++ files)
     ()
   }
 
@@ -246,9 +299,10 @@ object SnapshotTableIO extends TableIO {
               else segs(i) == s"$c=${esc(v)}"
             }
         }
-        val kept = old.files.filterNot(f => matches(partitionPathOf(f)))
-        if (kept.size != old.files.size)
-          commit(spark, path, old.schemaJson, old.partitionCols, kept)
+        val removes = old.files.filter(f => matches(partitionPathOf(f)))
+        if (removes.nonEmpty)
+          commitDelta(spark, path, old, old.schemaJson, old.partitionCols,
+            Seq.empty, removes)
         ()
     }
   }
@@ -267,6 +321,14 @@ object SnapshotTableIO extends TableIO {
     val keptVs = versions.takeRight(retain)
     val referenced = keptVs
       .flatMap(v => readManifest(spark, path, v).files).toSet
+    // a retained DELTA manifest still needs its ancestors to resolve — keep
+    // every manifest on a retained version's chain (tiny text files)
+    val keepManifests = scala.collection.mutable.Set[Long]()
+    keptVs.foreach { v0 =>
+      var v: Option[Long] = Some(v0)
+      while (v.nonEmpty && keepManifests.add(v.get))
+        v = parentOf(rawLines(spark, path, v.get))
+    }
     val root = new Path(path)
     val rootUri = root.toUri.getPath
     def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
@@ -281,7 +343,8 @@ object SnapshotTableIO extends TableIO {
       val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       if (!referenced.contains(rel)) { fs.delete(f, false); deleted += 1 }
     }
-    versions.dropRight(retain).foreach(v => fs.delete(manifestPath(path, v), false))
+    versions.filterNot(keepManifests).foreach(v =>
+      fs.delete(manifestPath(path, v), false))
     val staging = new Path(s"$path/$StagingDir")
     if (fs.exists(staging)) fs.delete(staging, true)
     // sweep now-empty partition directories (cosmetic; globs stay clean)

@@ -191,6 +191,55 @@ class SnapshotSpec extends AnyFunSuite {
     assert(back == then_, "time travel must reproduce snapshot v1")
   }
 
+  test("delta manifests: steady commits write O(changed-files) deltas, " +
+      "chains rebase to full, time travel and vacuum resolve across chains") {
+    val t = "/tmp/graft-test/snap-delta"
+    SnapshotTableIO.drop(spark, t)
+    val recorded = scala.collection.mutable.Map[Long, Set[Seq[Any]]]()
+    SnapshotTableIO.overwriteTable(fixture(0), t, Seq("g")) // v1: full
+    recorded(1L) = rows(SnapshotTableIO, t)
+    (1 to 12).foreach { i => // v2..v13: single-partition dynamic overwrites
+      SnapshotTableIO.overwritePartitions(
+        fixture(i).filter(col("g") === i % 4), t, Seq("g"))
+      recorded(i + 1L) = rows(SnapshotTableIO, t)
+    }
+
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def raw(v: Long): List[String] = {
+      val p = new org.apache.hadoop.fs.Path(f"$t/_manifests/v$v%09d.manifest")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    def isDelta(v: Long) = raw(v).drop(2).headOption.exists(_.startsWith("#delta "))
+    assert(isDelta(2L), "an incremental overwrite must commit a delta")
+    assert((3L to 13L).exists(v => !isDelta(v)),
+      "a 12-commit chain must rebase to a full manifest at least once")
+    // a delta writes O(changed files): strictly fewer body lines than the
+    // full table's file list
+    val fullLines = raw(1L).length - 2
+    val deltaLines = raw(2L).length - 3
+    assert(deltaLines < fullLines,
+      s"delta body ($deltaLines lines) not smaller than full ($fullLines)")
+
+    // time travel resolves across the chain
+    Seq(2L, 7L, 13L).foreach { v =>
+      val got = SnapshotTableIO.readVersion(spark, t, v)
+        .select(col("id"), col("g").cast("int"), col("payload"))
+        .collect().map(_.toSeq).toSet
+      assert(got == recorded(v), s"readVersion($v) diverged")
+    }
+
+    // vacuum keeps the retained versions' ancestor manifests (a retained
+    // delta is useless without its chain) and only reclaims data files
+    assert(SnapshotTableIO.vacuum(spark, t, retain = 2) > 0)
+    assert(rows(SnapshotTableIO, t) == recorded(13L))
+    assert(SnapshotTableIO.readVersion(spark, t, 12L)
+      .select(col("id"), col("g").cast("int"), col("payload"))
+      .collect().map(_.toSeq).toSet == recorded(12L))
+  }
+
   test("streaming re-crawl on SnapshotTableIO: correct live view, bounded " +
       "snapshot debt via per-batch vacuum, no orphans after final reclaim") {
     import spark.implicits._
@@ -245,8 +294,10 @@ class SnapshotSpec extends AnyFunSuite {
       if (!fs.exists(d)) 0 else fs.listStatus(d).count(_.getPath.getName.endsWith(".manifest"))
     }
     val layout = IndexBuilder.Layout(indexDir)
+    // retained versions plus the delta-chain ancestors a retained manifest
+    // needs to resolve (chain length bounded by the rebase policy)
     Seq(layout.docs, layout.postings, layout.dictionary, layout.lineage)
-      .foreach(t => assert(manifests(t) <= 2,
+      .foreach(t => assert(manifests(t) <= 2 + 8,
         s"vacuumRetain=2 violated at $t: ${manifests(t)} manifests"))
 
     // final reclaim to horizon 1: physical files == exactly the current
