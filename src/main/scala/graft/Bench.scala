@@ -500,6 +500,7 @@ object Bench {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
       var bucketsTouched = 0.0
+      var bucketsTotal = 0.0
       // planned scan volume of a probe plan: the file bytes its (pruned)
       // scan selects — the axis the keymap actually changes. Local wall
       // time is floor-bound by per-action scheduling (~0.5-1 s/job), which
@@ -530,6 +531,7 @@ object Bench {
         bucketsTouched = batch
           .select(pmod(xxhash64(col("repo")), lit(nb.toLong)).as("b"))
           .distinct().count().toDouble
+        bucketsTotal = nb.toDouble
         val bytesK = scanBytes(graft.index.KeyMap.probe(spark, dir,
           batch.select("repo", "path"), key, nb))
         val bytesF = scanBytes(params.io.read(spark,
@@ -565,7 +567,8 @@ object Bench {
         .drop("docId")
         .withColumn("content", concat(col("content"), lit(" recrawled2")))
       val (_, upsSec) = timed(graft.index.Upsert.upsert(spark, batch4, dir4,
-        params.copy(inputSnapshot = "probe-recrawl"), key))
+        params.copy(inputSnapshot = "probe-recrawl",
+          keymapBuckets = math.max(64, (baseDocs * 4 / 390).toInt)), key))
       Seq(
         "upsert_probe_docs_1x" -> baseDocs.toDouble,
         "upsert_probe_sec_keymap_1x" -> k1,
@@ -585,7 +588,7 @@ object Bench {
         "upsert_probe_scan_growth_keymap" -> (if (bk1 > 0) bk4 / bk1 else 0.0),
         "upsert_probe_scan_reduction_4x" -> (if (bk4 > 0) bf4 / bk4 else 0.0),
         "upsert_probe_buckets_touched" -> bucketsTouched,
-        "upsert_probe_buckets_total" -> 256.0,
+        "upsert_probe_buckets_total" -> bucketsTotal,
         "recrawl_upsert_sec_4x" -> upsSec)
     } finally spark.stop()
   }

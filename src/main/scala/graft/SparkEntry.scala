@@ -203,10 +203,7 @@ object SparkEntry {
         "snapshot gate fixture: expunge was a no-op")
       require(Deletes.count(spark, dir, io) == 0L,
         "snapshot gate fixture: merge must GC every tombstone")
-      val layout = IndexBuilder.Layout(dir)
-      val reclaimed = Seq(layout.docs, layout.postings, layout.dictionary,
-        layout.stats, layout.lineage, layout.metrics)
-        .map(t => graft.io.SnapshotTableIO.vacuum(spark, t, retain = 1)).sum
+      val reclaimed = graft.index.Vacuum.vacuumIndex(spark, dir, retain = 1, io)
       require(reclaimed > 0, "snapshot gate fixture: vacuum reclaimed nothing")
       new SearchIndex(spark, dir, io)
     })

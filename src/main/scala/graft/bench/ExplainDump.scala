@@ -165,20 +165,20 @@ object ExplainDump {
        |   and resolves add/no-op/update per key with ordinary
        |   hash-aggregate + semi-join — no driver-side id set at any point,
        |   so classification scales with the BATCH, not the index;
+       |12. in the steady re-crawl loop the probe side goes through the
+       |   KeyMap sidecar instead: a bucket-partitioned live
+       |   (key -> docId, sha256) table whose scan prunes on the keyBucket
+       |   PARTITION key to exactly the buckets the batch touches
+       |   (`PartitionFilters` below) — the probe reads O(touched buckets),
+       |   flat in index size (buckets provisioned with the corpus), and
+       |   per-batch maintenance rewrites only those buckets;
        |13. the snapshot table layer (SnapshotTableIO) changes WHAT files a
        |   scan reads — the manifest's immutable list, so readers are
        |   isolated from concurrent commits — but not HOW: the file-list
        |   scan below keeps `PartitionFilters` and `PushedFilters` intact
        |   (same pruning as the path-discovered scan), and every mutation
        |   is one staged write + one atomic manifest rename, never a
-       |   rewrite of live files;
-       |12. in the steady re-crawl loop the probe side goes through the
-       |   KeyMap sidecar instead: a bucket-partitioned live
-       |   (key -> docId, sha256) table whose scan prunes on the keyBucket
-       |   PARTITION key to exactly the buckets the batch touches
-       |   (`PartitionFilters` below) — the probe reads O(touched buckets),
-       |   flat in index size, and per-batch maintenance rewrites only
-       |   those buckets.
+       |   rewrite of live files.
        |
        |## 1+2. Candidate scoring (block-max WAND path)
        |

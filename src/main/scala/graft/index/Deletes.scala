@@ -120,6 +120,20 @@ object Deletes {
     val prepared = rows.select(col("docId").cast("long").as("docId"),
         col("docGroup").cast("long").as("docGroup"))
       .distinct()
+    if (io.atomicOverwrites) {
+      // snapshot storage: overwriteTable IS an atomic, reader-isolated
+      // commit — the dir-swap below would physically delete files under a
+      // pinned reader's manifest. Empty -> commit an empty snapshot
+      // (reads back as zero tombstones; absent and empty are the same
+      // state to every caller).
+      if (!prepared.isEmpty)
+        io.overwriteTable(
+          prepared.repartition(col("docGroup")).sortWithinPartitions("docId"),
+          live.toString, Seq("docGroup"))
+      else if (io.exists(spark, live.toString))
+        io.overwriteTable(prepared, live.toString, Seq("docGroup"))
+      return
+    }
     if (prepared.isEmpty) { fs.delete(live, true); return }
     io.overwriteTable(
       prepared.repartition(col("docGroup")).sortWithinPartitions("docId"),

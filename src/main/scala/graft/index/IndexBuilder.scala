@@ -146,7 +146,12 @@ object IndexBuilder {
       // (old state ⊎ new-segment aggregates — bitwise-equal to a full
       // re-derivation, cost proportional to the BATCH); set false to force
       // the full re-derivation/audit path on every batch
-      incrementalDerived: Boolean = true)
+      incrementalDerived: Boolean = true,
+      // KeyMap bucket count used when an upsert (re)builds the live-key
+      // sidecar — MUST be provisioned with the corpus (~10^2-10^3 keys per
+      // bucket) or the steady-state probe degrades to a fixed
+      // 1/keymapBuckets-of-the-key-table scan (see KeyMap scaladoc)
+      keymapBuckets: Int = KeyMap.DefaultBuckets)
 
   /** Reference-style length step function (rust scorer.rs:138-147 shape). */
   def defaultQuality: Column = {

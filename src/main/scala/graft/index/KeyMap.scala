@@ -176,6 +176,7 @@ object KeyMap {
     * after any out-of-band mutation, never in the steady upsert loop. */
   def rebuild(spark: SparkSession, dir: String, keyCols: Seq[String],
       nBuckets: Int = DefaultBuckets, io: TableIO = ParquetTableIO): Unit = {
+    io.drop(spark, s"${table(dir)}._stage") // crashed applyBatch residue
     val layout = IndexBuilder.Layout(dir)
     val live0 = io.read(spark, layout.docs)
       .select((keyCols.map(col) :+ col("docId") :+ col("sha256")): _*)

@@ -126,7 +126,6 @@ object Upsert {
     KeyMap.invalidate(spark, dir)
 
     val nAdds = adds.count()
-    var addRows: DataFrame = null // (keyCols..., docId, sha256) for KeyMap
     val added =
       if (nAdds == 0L) 0L
       else {
@@ -144,8 +143,6 @@ object Upsert {
         val withIds = spark.createDataFrame(
           ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i)) },
           schema)
-        addRows = withIds.select((keyCs :+ col("docId") :+
-          sha2(col("content"), 256).as("sha256")): _*)
         IndexBuilder.resume(spark, withIds, dir, params)
         nAdds
       }
@@ -161,12 +158,29 @@ object Upsert {
     // ground truth otherwise (bootstrap, or something else touched the
     // index since the last upsert). Either way the marker comes back, so
     // the steady re-crawl loop's probe cost is O(touched buckets).
-    if (addRows == null)
-      addRows = incoming.limit(0).select((keyCs :+
-        lit(0L).as("docId") :+ col("_sha").as("sha256")): _*)
-    viaKeymap match {
-      case Some(nb) => KeyMap.applyBatch(spark, dir, addRows, tombs, keyCols, nb, io)
-      case None => KeyMap.rebuild(spark, dir, keyCols, KeyMap.DefaultBuckets, io)
+    // Skipped entirely for an empty bootstrap batch on a not-yet-built
+    // index: there is nothing to map (and nothing to rebuild FROM).
+    if (io.exists(spark, layout.docs)) {
+      // the adds' (key, docId, sha256) rows come from the COMMITTED docs
+      // segment of THIS batch (segment == params.inputSnapshot — the
+      // resume contract already requires a fresh name per batch), not
+      // from re-executing the id-assignment DAG above: re-evaluation
+      // would run the window/shuffle/zipWithIndex chain again per keymap
+      // action AND silently depend on the recomputed ids bit-matching
+      // the committed ones. This read is segment-partition-pruned —
+      // O(batch).
+      val addRows =
+        if (added == 0L)
+          incoming.limit(0).select(keyCs: _*)
+            .withColumn("docId", lit(0L)).withColumn("sha256", lit(""))
+        else io.read(spark, layout.docs)
+          .filter(col("segment") === params.inputSnapshot)
+          .select((keyCs :+ col("docId").cast("long").as("docId") :+
+            col("sha256")): _*)
+      viaKeymap match {
+        case Some(nb) => KeyMap.applyBatch(spark, dir, addRows, tombs, keyCols, nb, io)
+        case None => KeyMap.rebuild(spark, dir, keyCols, params.keymapBuckets, io)
+      }
     }
     Result(added, afterTotal - before, incoming.count() - nAdds)
   }

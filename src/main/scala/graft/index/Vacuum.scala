@@ -37,6 +37,9 @@ object Vacuum {
       io: TableIO = SnapshotTableIO): Long =
     if (!(io eq SnapshotTableIO)) 0L
     else WriterLock.withLock(spark, dir) {
+      // a crashed KeyMap.applyBatch can strand its staged table — under
+      // the lease no writer is mid-flight, so residue is always garbage
+      SnapshotTableIO.drop(spark, s"${KeyMap.table(dir)}._stage")
       tables(dir)
         .filter(t => SnapshotTableIO.exists(spark, t))
         .map(t => SnapshotTableIO.vacuum(spark, t, retain)).sum

@@ -249,6 +249,8 @@ object SnapshotTableIO extends TableIO {
   override def exists(spark: SparkSession, path: String): Boolean =
     currentVersion(spark, path).isDefined
 
+  override def atomicOverwrites: Boolean = true
+
   override def drop(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val fs = fsOf(spark, path)

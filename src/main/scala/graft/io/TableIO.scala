@@ -16,6 +16,13 @@ trait TableIO {
   def exists(spark: SparkSession, path: String): Boolean
   def drop(spark: SparkSession, path: String): Unit
 
+  /** True when [[overwriteTable]] is an ATOMIC, reader-isolated commit
+    * (snapshot storage). Callers that otherwise need a staged dir-swap to
+    * fake atomicity (primary-state tables like tombstones) can overwrite
+    * in place — a dir-swap would physically delete files under a pinned
+    * reader and defeat the snapshot layer's isolation. */
+  def atomicOverwrites: Boolean = false
+
   /** Overwrite-by-partition: replaces exactly the partitions present in
     * `df` (dynamic mode), leaving other partitions intact. With
     * `partitionCols` empty this is a full-table overwrite. Idempotent for a
