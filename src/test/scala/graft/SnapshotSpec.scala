@@ -118,6 +118,14 @@ class SnapshotSpec extends AnyFunSuite {
     def live(idx: SearchIndex) = idx.docs.select("docId", "repo", "path", "sha256")
       .collect().map(_.toSeq).toSet
     assert(live(cS) == live(cP))
+    // the serving tier loads through the index's io too: identical pages
+    val (lsS, lsP) = (graft.query.LocalSearcher.load(cS),
+      graft.query.LocalSearcher.load(cP))
+    queries.foreach { q =>
+      assert(graft.query.LocalSearcher.search(lsS, q, SearchOpts(k = 10)) ==
+        graft.query.LocalSearcher.search(lsP, q, SearchOpts(k = 10)),
+        s"serving-tier page diverged on snapshot storage for '$q'")
+    }
   }
 
   test("reader isolation: a scan planned before compaction keeps reading " +
