@@ -178,7 +178,13 @@ object KeyMap {
       nBuckets: Int = DefaultBuckets, io: TableIO = ParquetTableIO): Unit = {
     io.drop(spark, s"${table(dir)}._stage") // crashed applyBatch residue
     val layout = IndexBuilder.Layout(dir)
+    // lineage-committed segments only (ADVICE r4): a crashed batch's orphan
+    // docs rows must not enter the live-key view, or the next upsert's
+    // keymap probe inherits exactly the skip-the-readd hazard the classify
+    // fix closes (see Upsert.committedSegments)
     val live0 = io.read(spark, layout.docs)
+      .withColumn("segment", col("segment").cast("string"))
+      .join(Upsert.committedSegments(spark, dir, io), Seq("segment"), "left_semi")
       .select((keyCols.map(col) :+ col("docId") :+ col("sha256")): _*)
     val live = Deletes.df(spark, dir, io) match {
       case Some(t) => live0.join(t.select("docId"), Seq("docId"), "left_anti")

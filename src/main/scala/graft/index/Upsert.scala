@@ -43,6 +43,16 @@ object Upsert {
 
   case class Result(added: Long, tombstoned: Long, unchangedSkipped: Long)
 
+  /** Distinct lineage-committed segment ids as a `segment: string` column —
+    * the filter that keeps classification (and [[KeyMap.rebuild]]) from
+    * seeing a crashed batch's orphan docs rows (lineage is the commit
+    * marker; it is written LAST by buildGroups). Cast to string on both
+    * sides: partition columns read back path-type-inferred. */
+  private[index] def committedSegments(spark: SparkSession, dir: String,
+      io: graft.io.TableIO): DataFrame =
+    io.read(spark, IndexBuilder.Layout(dir).lineage)
+      .select(col("inputSnapshot").cast("string").as("segment")).distinct()
+
   /** Upsert `corpus` (the natural-key columns + content fields; NO docId —
     * ids are owned by the index) into the index at `dir`. Each call is one
     * ingest batch: `params.inputSnapshot` must be fresh (and stable across
@@ -82,12 +92,24 @@ object Upsert {
       case None =>
         val docsCols = (keyCols :+ "docId" :+ "sha256").map(col)
         val existing0 =
-          if (!io.exists(spark, layout.docs))
+          if (!io.exists(spark, layout.docs) || !io.exists(spark, layout.lineage))
             incoming.select(keyCs: _*).limit(0)
               .withColumn("_oldId", lit(null).cast(LongType))
               .withColumn("_oldSha", lit(null).cast("string"))
-          else io.read(spark, layout.docs).select(docsCols: _*)
-            .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
+          else
+            // COMMITTED rows only (ADVICE r4): a crash between the docs/
+            // postings write and the lineage commit leaves an orphan
+            // segment; probing raw docs would see its rows as live-with-
+            // same-sha and SKIP the re-add, so the segment never commits
+            // (and the next batch's fresh-id base would reuse its docIds —
+            // duplicate ids). Restricting the probe to lineage-committed
+            // segments makes the retry re-run resume, whose same-segment
+            // dynamic overwrite is idempotent over the orphan partitions.
+            io.read(spark, layout.docs)
+              .withColumn("segment", col("segment").cast("string"))
+              .join(committedSegments(spark, dir, io), Seq("segment"), "left_semi")
+              .select(docsCols: _*)
+              .withColumnRenamed("docId", "_oldId").withColumnRenamed("sha256", "_oldSha")
         Deletes.df(spark, dir, io) match {
           case Some(t) => existing0.join(
             t.select(col("docId").as("_oldId")), Seq("_oldId"), "left_anti")
@@ -117,7 +139,23 @@ object Upsert {
     val io = params.io
     val layout = IndexBuilder.Layout(dir)
     val keyCs = keyCols.map(col)
-    val (incoming, adds, tombs, viaKeymap) = classify(spark, corpus, dir, params, keyCols)
+    val (incoming, adds, tombs0, viaKeymap) = classify(spark, corpus, dir, params, keyCols)
+
+    // STAGE the classification results to disk BEFORE the first index
+    // mutation: adds/tombs are lazy plans over the docs files listed
+    // pre-mutation, and a retry's resume dynamically OVERWRITES the orphan
+    // segment's partitions — any action re-evaluating those plans after the
+    // append (resume runs several: collision check, docs, postings,
+    // lineage; then deleteIds/applyBatch) would read deleted files. Two
+    // O(batch) transient parquets (no snapshot semantics needed; residue is
+    // dropped on entry) pin the classification ONCE — which also stops the
+    // probe-join + id-assignment chain from re-executing per action in the
+    // steady re-crawl loop.
+    val stageP = new org.apache.hadoop.fs.Path(s"$dir/_stage_upsert")
+    val stageFs = stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stageFs.delete(stageP, true) // crashed-run residue
+    tombs0.write.parquet(s"$stageP/tombs")
+    val tombs = spark.read.parquet(s"$stageP/tombs")
 
     // marker OFF before the first index mutation (the keymap TABLE stays
     // readable for this batch's lazy plans): a crash anywhere below leaves
@@ -143,7 +181,10 @@ object Upsert {
         val withIds = spark.createDataFrame(
           ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i)) },
           schema)
-        IndexBuilder.resume(spark, withIds, dir, params)
+        // pin the id-assigned adds (see stage comment above): resume's
+        // actions must not re-scan pre-mutation docs files through this plan
+        withIds.write.parquet(s"$stageP/adds")
+        IndexBuilder.resume(spark, spark.read.parquet(s"$stageP/adds"), dir, params)
         nAdds
       }
     // deletes AFTER the append (see class doc: a crash here duplicates
@@ -182,6 +223,7 @@ object Upsert {
         case None => KeyMap.rebuild(spark, dir, keyCols, params.keymapBuckets, io)
       }
     }
+    stageFs.delete(stageP, true)
     Result(added, afterTotal - before, incoming.count() - nAdds)
   }
 }

@@ -43,6 +43,18 @@ object WriterLock {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
   /** Dirs whose lease FILE this process currently holds (hold depth). */
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Per-held-dir lease-renewal tasks (ADVICE r4: without renewal, any
+    * mutation longer than `staleMs` on a non-local fs gets its LIVE lease
+    * broken by a second writer — the exact race the lock exists to stop). */
+  private val heartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+  private lazy val heartbeatPool = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-writerlock-heartbeat"); t.setDaemon(true); t
+    })
+    p.setRemoveOnCancelPolicy(true)
+    p
+  }
 
   def lockPath(dir: String): String = s"$dir/_writer_lock"
 
@@ -62,9 +74,16 @@ object WriterLock {
       held.put(dir, depth + 1)
       try body
       finally {
-        val d = held.get(dir) - 1
-        if (d == 0) { held.remove(dir); releaseFile(spark, dir) }
-        else held.put(dir, d)
+        // a forceUnlock may have dropped the lease file while we ran; the
+        // bookkeeping entry can then be absent — treat missing as depth 0
+        // (nothing to release) instead of unboxing null (ADVICE r4)
+        Option(held.get(dir)).map(_.intValue) match {
+          case None | Some(0) => stopHeartbeat(dir)
+          case Some(cur) =>
+            val d = cur - 1
+            if (d == 0) { held.remove(dir); releaseFile(spark, dir) }
+            else held.put(dir, d)
+        }
       }
     } finally l.unlock()
   }
@@ -80,12 +99,17 @@ object WriterLock {
       if (!fs.exists(p)) { fs.mkdirs(p.getParent); tryCreate(fs, p); () }
     }
 
-  /** Operator override: drop whatever lease is present. */
+  /** Operator override: drop whatever lease FILE is present. Deliberately
+    * does NOT touch the in-process hold bookkeeping (ADVICE r4): clearing
+    * `held` while another thread of this process is inside withLock would
+    * corrupt its reentrancy depth. If the holder is THIS live process, its
+    * heartbeat simply restores the lease — forceUnlock is for leases whose
+    * holder is known dead. */
   def forceUnlock(spark: SparkSession, dir: String): Unit = {
     val p = new Path(lockPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, false)
-    held.remove(dir)
+    ()
   }
 
   private def acquireFile(spark: SparkSession, dir: String, staleMs: Long): Unit = {
@@ -114,11 +138,52 @@ object WriterLock {
           s"acquired ${info.get._3}); concurrent writers would race the " +
           "staged-swap protocols — wait, or WriterLock.forceUnlock if the " +
           "holder is known dead")
-      val broken = new Path(s"${lockPath(dir)}._broken.$ownerUuid")
-      if (!fs.rename(p, broken)) {
-        // lost the break race: loop once more against the winner's fresh lease
-      } else fs.delete(broken, false)
+      // break only the EXACT lease we judged stale (ADVICE r4): a holder's
+      // heartbeat may have renewed it between our read and this rename —
+      // re-read and compare; any change means the holder is alive, so loop
+      // and re-evaluate the fresh lease instead of breaking it
+      if (readLease(fs, p) == info) {
+        val broken = new Path(s"${lockPath(dir)}._broken.$ownerUuid")
+        if (!fs.rename(p, broken)) {
+          // lost the break race: loop once more against the winner's fresh lease
+        } else fs.delete(broken, false)
+      }
     }
+    startHeartbeat(spark, dir, staleMs)
+  }
+
+  /** While a lease is held, refresh its `acquiredAtMillis` at `staleMs / 3`
+    * cadence so a long mutation (large compaction/expunge) on a non-local
+    * fs never crosses the staleness horizon while its holder is alive
+    * (ADVICE r4). The renewal rewrites the lease only when it is still OURS
+    * — a forceUnlock+takeover by another writer is never clobbered. */
+  private def startHeartbeat(spark: SparkSession, dir: String, staleMs: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val period = math.max(1000L, staleMs / 3)
+    val task: Runnable = () => try {
+      val p = new Path(lockPath(dir))
+      val fs = p.getFileSystem(conf)
+      readLease(fs, p) match {
+        case Some((uuid, _, _)) if uuid != ownerUuid => () // taken over: stand down
+        case _ => // ours, vanished (build dropped the dir) or residue: renew
+          if (held.containsKey(dir)) {
+            fs.mkdirs(p.getParent)
+            val out = fs.create(p, /*overwrite=*/ true)
+            try out.write(s"$ownerUuid $pid ${System.currentTimeMillis()}"
+              .getBytes("UTF-8"))
+            finally out.close()
+          }
+      }
+    } catch { case _: java.io.IOException => () } // transient fs hiccup: next tick retries
+    val prev = heartbeats.put(dir,
+      heartbeatPool.scheduleAtFixedRate(task, period, period,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    if (prev != null) { prev.cancel(false); () }
+  }
+
+  private def stopHeartbeat(dir: String): Unit = {
+    val f = heartbeats.remove(dir)
+    if (f != null) { f.cancel(false); () }
   }
 
   private def tryCreate(fs: FileSystem, p: Path): Boolean =
@@ -131,6 +196,7 @@ object WriterLock {
     } catch { case _: java.io.IOException => false }
 
   private def releaseFile(spark: SparkSession, dir: String): Unit = {
+    stopHeartbeat(dir) // before the delete, or a late tick re-creates the lease
     val p = new Path(lockPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // only our own lease: a forceUnlock+takeover while we ran must not

@@ -36,7 +36,11 @@ class SearchIndex(val spark: SparkSession, val dir: String,
   def reloadDeletes(): this.type = {
     val prev = deletesBc
     deletesBc = spark.sparkContext.broadcast(graft.index.Deletes.loadSet(spark, dir, io = io))
-    prev.destroy()
+    // unpersist, NOT destroy (ADVICE r4): an in-flight distributed query
+    // that captured the old broadcast may not have fetched it on executors
+    // yet — destroy() would fail that job; unpersist keeps it re-fetchable
+    // from the driver while freeing executor memory
+    prev.unpersist(blocking = false)
     this
   }
   /** The tombstone table as a DataFrame, for declarative anti-joins

@@ -135,6 +135,50 @@ class UpsertSpec extends AnyFunSuite {
     assert(liveView(dir) == view, "retry converges to the same live view")
   }
 
+  test("crash window converges: docs/postings written, lineage commit LOST " +
+      "-> retry re-runs the adds idempotently, no duplicate docIds (ADVICE r4)") {
+    val dir = "/tmp/graft-test/ups-crash-lineage"
+    buildV1(dir)
+    val b = batch(fresh = 3)
+    val r1 = Upsert.upsert(spark, b, dir, upsParams, key)
+    assert(r1.added > 0 && r1.tombstoned > 0)
+    val view = liveView(dir)
+
+    // simulate a crash BETWEEN the segment's docs/postings/derived writes
+    // and the lineage commit (lineage is written LAST by buildGroups): the
+    // orphan segment's rows exist in docs/postings and the derived manifest,
+    // but lineage has no record of them. Deletes never ran (they run after
+    // the append), and the keymap marker is absent (dropped before the
+    // first mutation).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/lineage/inputSnapshot=${upsParams.inputSnapshot}"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(Deletes.tombstones(dir)), true)
+    graft.index.KeyMap.invalidate(spark, dir)
+
+    // the retry must NOT classify the orphan rows as live-with-same-sha
+    // (which would skip the adds and strand the segment forever): it re-runs
+    // resume, whose same-segment dynamic overwrite replaces the orphan
+    // partitions, and re-issues the tombstones
+    val r2 = Upsert.upsert(spark, b, dir, upsParams, key)
+    assert(r2.added == r1.added, "retry must re-commit the orphan segment's adds")
+    assert(r2.tombstoned == r1.tombstoned, "retry re-issues the lost tombstones")
+    assert(r2.unchangedSkipped == r1.unchangedSkipped)
+
+    // the id hazard the fix closes: fresh-id assignment over a lineage that
+    // never saw the orphan reuses its ids — the overwrite must leave exactly
+    // one row per docId, never orphan+retry duplicates
+    val d = spark.read.parquet(s"$dir/docs")
+      .agg(count(lit(1)), countDistinct(col("docId"))).collect()(0)
+    assert(d.getLong(0) == d.getLong(1), "duplicate docIds after retry")
+    assert(liveView(dir) == view, "retry converges to the committed live view")
+
+    // and lineage now records the segment (a third run is a pure no-op)
+    val r3 = Upsert.upsert(spark, b, dir, upsParams, key)
+    assert(r3 == Upsert.Result(0L, 0L, b.count()))
+  }
+
   test("deterministic: same batch on two index copies -> identical docs " +
       "tables; batch-internal duplicate keys resolve to one winner") {
     val d1 = "/tmp/graft-test/ups-det1"
