@@ -26,9 +26,9 @@ object Vacuum {
   /** Tables of an index that may hold snapshot manifests. */
   private def tables(dir: String): Seq[String] = {
     val layout = IndexBuilder.Layout(dir)
-    Seq(layout.docs, layout.postings, layout.dictionary, layout.stats,
-      layout.lineage, layout.metrics, layout.derivedSegments,
-      Deletes.tombstones(dir), KeyMap.table(dir))
+    Seq(layout.docs, layout.postings, layout.dictionary,
+      layout.dictionaryMeta, layout.stats, layout.lineage, layout.metrics,
+      layout.derivedSegments, Deletes.tombstones(dir), KeyMap.table(dir))
   }
 
   /** Reclaim files unreachable from the newest `retain` snapshots of every

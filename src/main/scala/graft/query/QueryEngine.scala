@@ -51,6 +51,11 @@ class SearchIndex(val spark: SparkSession, val dir: String,
   lazy val docs: DataFrame = io.read(spark, layout.docs)
   lazy val postings: DataFrame = io.read(spark, layout.postings)
   lazy val dictionary: DataFrame = io.read(spark, layout.dictionary)
+  /** termBucket count of the bucketed dictionary layout (None on an index
+    * whose full refresh predates it / crashed mid-write — probes then fall
+    * back to tlen-only pruning, correct but less pruned). */
+  lazy val dictBuckets: Option[Int] =
+    graft.index.IndexBuilder.dictBucketCount(spark, dir, io)
   /** field -> (N, avgdl) */
   lazy val stats: Map[String, (Long, Double)] =
     io.read(spark, layout.stats).collect()
@@ -85,14 +90,30 @@ class SearchIndex(val spark: SparkSession, val dir: String,
     val hd = hotDict
     if (hd != null)
       (for (f <- fields; t <- terms; d <- hd.get((f, t))) yield (f, t) -> d).toMap
-    else {
-      val lens: Seq[Any] = terms.map(_.length).distinct
-      dictionary
-        .filter(col("tlen").isin(lens: _*)) // partition pruning
-        .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
-        .select("field", "term", "df").collect()
+    else
+      lookupDf(fields, terms).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  /** The cold-path dictionary probe behind [[lookup]], exposed for plan
+    * inspection (PlanSpec asserts both partition-pruning levels). */
+  private[graft] def lookupDf(fields: Seq[String], terms: Seq[String]): DataFrame = {
+    val lens: Seq[Any] = terms.map(_.length).distinct
+    val banded = dictionary
+      .filter(col("tlen").isin(lens: _*)) // partition pruning, level 1
+    // level 2 on the bucketed layout: the exact buckets the query terms
+    // hash into, computed driver-side (no job) — the probe reads O(query
+    // terms) partitions out of a 10^9-term dictionary
+    val pruned = dictBuckets match {
+      case Some(b) =>
+        val buckets: Seq[Any] =
+          terms.map(graft.index.IndexBuilder.termBucketOf(_, b)).distinct
+        banded.filter(col("termBucket").isin(buckets: _*))
+      case None => banded
     }
+    pruned
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .select("field", "term", "df")
   }
 }
 

@@ -141,6 +141,44 @@ class PlanSpec extends AnyFunSuite {
     assert(partFilters.contains("tlen"), s"lookup probe unpruned:\n${plan.take(2000)}")
   }
 
+  test("exact-term lookup prunes BOTH partition levels (tlen + termBucket) " +
+      "and reads only the terms' buckets") {
+    val terms = Seq("python", "tutorial")
+    val probe = index.lookupDf(Seq("content"), terms)
+    val plan = planOf(probe)
+    val partFilters = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(partFilters.contains("tlen") && partFilters.contains("termBucket"),
+      s"lookup probe missing a pruning level:\n${plan.take(2000)}")
+    // the pruned scan reads at most |terms| (tlen, bucket) directories
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }.sum
+    assert(scanned <= terms.size,
+      s"expected <=${terms.size} pruned partitions, scanned $scanned")
+    // pruning never changes the answer: probe == unpruned dictionary filter
+    val unpruned = index.dictionary
+      .filter(org.apache.spark.sql.functions.col("field") === "content" &&
+        org.apache.spark.sql.functions.col("term").isin(terms: _*))
+      .select("field", "term", "df")
+    assert(probe.collect().map(_.toSeq).toSet ==
+      unpruned.collect().map(_.toSeq).toSet)
+  }
+
+  test("driver-side termBucketOf == Spark's pmod(xxhash64(term), n), bitwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val terms = Seq("python", "tutorial", "a", "δοκιμή", "日本語テキスト",
+      "x" * 50, "MiXeD_case-42", "", " odd")
+    for (n <- Seq(1, 7, 64, 4096)) {
+      val sql = terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(n.toLong)).cast("int"))
+        .as[Int].collect().toSeq
+      val drv = terms.map(IndexBuilder.termBucketOf(_, n))
+      assert(sql == drv, s"bucket hash diverges at n=$n: sql=$sql driver=$drv")
+    }
+  }
+
   test("dictionary lookup scan prunes columns and pushes the term filter") {
     import org.apache.spark.sql.functions._
     val df = index.dictionary

@@ -137,6 +137,86 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dictionary maintenance rewrites ONLY the touched " +
+      "(tlen, termBucket) partitions; untouched files are bit-identical") {
+    import spark.implicits._
+    val all = CorpusGen.generateDF(spark, 600L, seed = 67L, partitions = 4)
+    val dir = "/tmp/graft-test/dict-buckets"
+    // tiny target so the vocabulary spans many buckets at test scale
+    val p = params.copy(dictTargetBucketRows = 32L)
+    IndexBuilder.build(spark, all.filter($"docId" < 590), dir, p)
+    val nb = IndexBuilder.dictBucketCount(spark, dir).get
+    assert(nb >= 8, s"fixture too small to exercise bucketing (nBuckets=$nb)")
+
+    // dictionary file inventory: (tlen, termBucket, fileName) -> length
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dictPath = new org.apache.hadoop.fs.Path(s"$dir/dictionary")
+    val fs = dictPath.getFileSystem(hconf)
+    def inventory(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map[String, Long]()
+      val it = fs.listFiles(dictPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out(st.getPath.toString.stripPrefix(dictPath.toString)) = st.getLen
+      }
+      out.toMap
+    }
+    val before = inventory()
+
+    // a SMALL batch: its vocabulary touches a strict subset of buckets
+    IndexBuilder.resume(spark, all.filter($"docId" >= 590), dir,
+      p.copy(inputSnapshot = "s1"))
+    val after = inventory()
+
+    // touched pairs, recomputed from the committed segment's own terms
+    val touched = spark.read.parquet(s"$dir/postings")
+      .filter($"segment" === "s1").select($"term").distinct()
+      .as[String].collect()
+      .map(t => (t.length, IndexBuilder.termBucketOf(t, nb))).toSet
+    def pair(f: String): (Int, Int) = {
+      val m = "tlen=(\\d+)/termBucket=(\\d+)".r.findFirstMatchIn(f).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val allPairs = before.keySet.map(pair)
+    assert(touched.nonEmpty && (allPairs -- touched).nonEmpty,
+      s"fixture must leave some partitions untouched " +
+        s"(touched=${touched.size}, existing=${allPairs.size})")
+    // every file in an UNTOUCHED partition survives byte-for-byte (same
+    // path, same length) — the incremental path never rewrote it
+    before.foreach { case (f, len) =>
+      if (!touched.contains(pair(f)))
+        assert(after.get(f).contains(len),
+          s"untouched partition rewritten by the incremental path: $f")
+    }
+    // ... and some touched partition actually changed
+    assert(before.keySet != after.keySet, "the incremental rewrite wrote nothing")
+    // table-level result identical to a monolithic build (values, not files)
+    val full = "/tmp/graft-test/dict-buckets-full"
+    IndexBuilder.build(spark, all, full, p)
+    def dict(d: String) = spark.read.parquet(s"$d/dictionary")
+      .select("field", "term", "df", "totalTf", "maxTf", "minDl", "termBucket")
+      .collect().map(_.toSeq).toSet
+    assert(dict(dir) == dict(full), "bucketed incremental != monolithic")
+  }
+
+  test("dictionary_meta absent (crash window / pre-bucket index) -> " +
+      "incremental refuses; the full refresh restores the marker") {
+    import spark.implicits._
+    val all = CorpusGen.generateDF(spark, 300L, seed = 71L, partitions = 2)
+    val dir = "/tmp/graft-test/dict-meta-crash"
+    IndexBuilder.build(spark, all.filter($"docId" < 150), dir, params)
+    assert(IndexBuilder.dictBucketCount(spark, dir).isDefined)
+    graft.io.ParquetTableIO.drop(spark, s"$dir/dictionary_meta")
+    assert(!IndexBuilder.refreshDerivedIncremental(spark, dir, "sX"),
+      "no bucket marker -> the incremental path cannot address buckets")
+    // an ordinary resume falls back to the full refresh and heals the marker
+    IndexBuilder.resume(spark, all.filter($"docId" >= 150), dir,
+      params.copy(inputSnapshot = "s1"))
+    assert(IndexBuilder.dictBucketCount(spark, dir).isDefined,
+      "full refresh must restore dictionary_meta")
+  }
+
   test("incremental refresh refuses a snapshot already baked in (crash-retry falls back to full)") {
     import spark.implicits._
     val all = CorpusGen.generateDF(spark, 300L, seed = 59L, partitions = 2)
