@@ -71,7 +71,14 @@ object Bench {
       // serving throughput at cpus/4 threads in the SAME JVM/window as the
       // cpus-thread probe: the query-side scaling pair must not straddle
       // two child processes minutes apart (same lesson as the build pairs)
-      servingParQpsQuarter: Double = 0)
+      servingParQpsQuarter: Double = 0,
+      // doc-metadata rows resident in the serving tier's bounded cache
+      // after the query mix (the at-open full-table map is gone)
+      servingDocsResident: Double = 0,
+      // chunk-grain serving through 4 docGroup shards (scatter + merge +
+      // router cost; identity with unsharded asserted in the probe)
+      servingChunkShardedP50Ms: Double = 0,
+      servingChunkShardedP95Ms: Double = 0)
 
   /** Block-skip probe on a tf-SKEWED corpus (the reference-query corpus is
     * deliberately tf-flat, where block maxima are all alike and block-level
@@ -130,7 +137,7 @@ object Bench {
     * word-window chunker and chunk docId scheme as the gates, chunk-grain
     * index, in-process serving over the same 12 reference queries. */
   private def chunkServingProbe(spark: SparkSession, nDocs: Long,
-      seed: Long): (Double, Double) = {
+      seed: Long): (Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft-bench/chunk-index"
     IndexBuilder.deleteDir(spark, dir)
@@ -147,7 +154,8 @@ object Bench {
         col("lang"), col("text_chunk").as("content"))
     IndexBuilder.build(spark, corpus, dir,
       IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L))
-    val li = graft.query.LocalSearcher.load(new SearchIndex(spark, dir))
+    val idx = new SearchIndex(spark, dir)
+    val li = graft.query.LocalSearcher.load(idx)
     val opts = SearchOpts(k = 10, overfetch = 3, diversity = true)
     ReferenceQueries.foreach(q => graft.query.LocalSearcher.search(li, q, opts))
     val ts = (1 to 5).flatMap(_ => ReferenceQueries.map { q =>
@@ -155,7 +163,23 @@ object Bench {
       graft.query.LocalSearcher.search(li, q, opts)
       (System.nanoTime() - t0) / 1e6
     })
-    (pct(ts, 0.50), pct(ts, 0.95))
+    // the multi-node topology in miniature (VERDICT r4 item #6): the same
+    // chunk index through 4 docGroup shards — scatter, per-shard WAND,
+    // global (score, docId) merge, shared pagination. The recorded latency
+    // INCLUDES the router cost (fan-out + merge + per-shard metadata
+    // probes); identity with the unsharded page is asserted, not assumed.
+    val sh = graft.query.LocalSearcher.loadSharded(idx, nShards = 4)
+    ReferenceQueries.foreach { q =>
+      val a = graft.query.LocalSearcher.searchSharded(sh, q, opts)
+      val b = graft.query.LocalSearcher.search(li, q, opts)
+      require(a == b, s"sharded chunk serving diverged on '$q'")
+    }
+    val tsSh = (1 to 5).flatMap(_ => ReferenceQueries.map { q =>
+      val t0 = System.nanoTime()
+      graft.query.LocalSearcher.searchSharded(sh, q, opts)
+      (System.nanoTime() - t0) / 1e6
+    })
+    (pct(ts, 0.50), pct(ts, 0.95), pct(tsSh, 0.50), pct(tsSh, 0.95))
   }
 
   /** Fixed-total-work CPU spin across `threads` threads — the machine's own
@@ -272,9 +296,9 @@ object Bench {
       val skewRefSkip =
         if (cpus >= 32) skewedRefQueryProbe(spark, math.min(100000L, nDocs), seed)
         else 0.0
-      val (chunkP50, chunkP95) =
+      val (chunkP50, chunkP95, chunkShP50, chunkShP95) =
         if (cpus >= 32) chunkServingProbe(spark, math.min(50000L, nDocs), seed)
-        else (0.0, 0.0)
+        else (0.0, 0.0, 0.0, 0.0)
 
       // fuzzy-expansion DP cost: dictionary rows that reach the levenshtein
       // DP for the reference-query term set, with vs without the pigeonhole
@@ -353,7 +377,8 @@ object Bench {
         servingBlocksPerQuery, servingScoredPerQuery, postingsTermTotalPerQuery,
         skewSkip, exhaustiveMean, wandMean, dictResident, skewRefSkip,
         chunkP50, chunkP95, li.residentBlockBytes.toDouble,
-        fuzzyDp, fuzzyDpAll, parBatch.size / servingParQuarterSec)
+        fuzzyDp, fuzzyDpAll, parBatch.size / servingParQuarterSec,
+        li.residentDocs.toDouble, chunkShP50, chunkShP95)
     } finally spark.stop()
   }
 
@@ -593,6 +618,202 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Per-batch dictionary maintenance cost at TWO corpus sizes (VERDICT r4
+    * item #2) — the KeyMap-probe methodology on the dictionary axis.
+    *
+    * The corpus gets 3 per-doc unique identifiers appended (real code files
+    * carry unique symbol names — Heaps'-law vocabulary growth; CorpusGen's
+    * base vocabulary is fixed-size and would hide the full-rewrite growth),
+    * and the probe provisions small buckets (dictTargetBucketRows = 512) so
+    * the touched-pair set is a strict subset at bench vocabulary — at a
+    * 10^9-term vocabulary the default 64Ki target gives the same subset
+    * property against 10^4-10^5-distinct-term micro-batches.
+    *
+    * Measured per size: bytes written to dictionary/ by one EQUAL-SIZE
+    * small appended batch (100 docs — a micro-batch whose vocabulary is a
+    * strict subset of the corpus') through (a) the bucketed incremental
+    * path and (b) the forced full re-derivation. The claim in numbers:
+    * full-path bytes grow with the vocabulary (~linear in corpus here),
+    * incremental bytes track batch-vocab touched pairs × pair size —
+    * sub-linear here, asymptotically flat as vocab/batch-vocab widens
+    * toward the deployment ratio (a batch's irreducible floor is the pairs
+    * holding the Zipf-head terms every document shares). */
+  def dictProbe(cpus: Int, baseDocs: Long, seed: Long): Seq[(String, Double)] = {
+    val spark = session(cpus)
+    try {
+      import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+      val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+        fields = Seq("content"), dictTargetBucketRows = 512L)
+      val batchN = 100L
+      def corpusTo(n: Long): org.apache.spark.sql.DataFrame =
+        CorpusGen.generateDF(spark, n, seed, partitions = cpus * 4)
+          .withColumn("content", concat_ws(" ", col("content"),
+            concat(lit("uqa"), col("docId")), concat(lit("uqb"), col("docId")),
+            concat(lit("uqc"), col("docId"))))
+      def dictFiles(dir: String): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/dictionary")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = scala.collection.mutable.Map[String, Long]()
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet"))
+              out(st.getPath.toString) = st.getLen
+          }
+        }
+        out.toMap
+      }
+      // (vocab, incMb, incSec, fullMb, fullSec)
+      def at(n: Long, tag: String): (Double, Double, Double, Double, Double) = {
+        val dir = s"/tmp/graft-bench/dict-$tag"
+        IndexBuilder.deleteDir(spark, dir)
+        val all = corpusTo(n + 2 * batchN)
+        IndexBuilder.build(spark, all.filter(col("docId") < n), dir, params)
+        val vocab = spark.read.parquet(s"$dir/dictionary").count().toDouble
+        def oneBatch(lo: Long, snap: String, inc: Boolean): (Double, Double) = {
+          val before = dictFiles(dir)
+          val t0 = System.nanoTime()
+          IndexBuilder.resume(spark,
+            all.filter(col("docId") >= lo && col("docId") < lo + batchN), dir,
+            params.copy(inputSnapshot = snap, incrementalDerived = inc))
+          val sec = (System.nanoTime() - t0) / 1e9
+          (dictFiles(dir).collect {
+            case (f, len) if !before.contains(f) => len }.sum / 1e6, sec)
+        }
+        val (incMb, incSec) = oneBatch(n, "dict-probe-inc", inc = true)
+        val (fullMb, fullSec) = oneBatch(n + batchN, "dict-probe-full", inc = false)
+        (vocab, incMb, incSec, fullMb, fullSec)
+      }
+      val (v1, i1, is1, f1, fs1) = at(baseDocs, "1x")
+      val (v4, i4, is4, f4, fs4) = at(baseDocs * 4, "4x")
+      Seq(
+        "dict_probe_docs_1x" -> baseDocs.toDouble,
+        "dict_probe_batch_docs" -> batchN.toDouble,
+        "dict_probe_vocab_1x" -> v1,
+        "dict_probe_vocab_4x" -> v4,
+        "dict_write_mb_incremental_1x" -> i1,
+        "dict_write_mb_incremental_4x" -> i4,
+        "dict_write_mb_full_1x" -> f1,
+        "dict_write_mb_full_4x" -> f4,
+        "dict_write_growth_incremental" -> (if (i1 > 0) i4 / i1 else 0.0),
+        "dict_write_growth_full" -> (if (f1 > 0) f4 / f1 else 0.0),
+        "dict_write_reduction_4x" -> (if (i4 > 0) f4 / i4 else 0.0),
+        // the scale trajectory in one number per size: what fraction of a
+        // full rewrite the incremental batch pays — FALLS as the corpus
+        // grows (the batch's touched pairs are pinned by ITS vocabulary
+        // while total pairs grow with the corpus'), toward ~0 at the
+        // deployment vocab/batch ratio
+        "dict_write_frac_of_full_1x" -> (if (f1 > 0) i1 / f1 else 0.0),
+        "dict_write_frac_of_full_4x" -> (if (f4 > 0) i4 / f4 else 0.0),
+        "dict_microbatch_sec_incremental_4x" -> is4,
+        "dict_microbatch_sec_full_4x" -> fs4,
+        "dict_microbatch_sec_incremental_1x" -> is1,
+        "dict_microbatch_sec_full_1x" -> fs1)
+    } finally spark.stop()
+  }
+
+  /** Snapshot-layer cost AT SIZE (VERDICT r4 "what's missing" #1): the same
+    * build + streaming-cadence microbatch + hot-query protocol run twice —
+    * through [[graft.io.SnapshotTableIO]] (atomic manifest commits, reader
+    * isolation, per-batch vacuum with retain=2, exactly the
+    * StreamingIndexer loop) and through plain [[graft.io.ParquetTableIO]] —
+    * plus the snapshot-only axes: manifest count, delta-chain depth,
+    * commit+vacuum latency. The isolation layer a deployment would run at
+    * 100x is the one that needs a bench number, not just SnapshotSpec's
+    * sf0.001 parity. */
+  def snapshotProbe(cpus: Int, nDocs: Long, seed: Long): Seq[(String, Double)] = {
+    val spark = session(cpus)
+    try {
+      import org.apache.spark.sql.functions.col
+      val snapIo = graft.io.SnapshotTableIO
+      val step = math.max(500L, nDocs / 10)
+      val nBatches = 8
+      val total = nDocs + nBatches * step
+      val corpus = CorpusGen.generateDF(spark, total, seed, partitions = cpus * 4)
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def hotP50(dir: String, io: graft.io.TableIO): Double = {
+        val idx = new SearchIndex(spark, dir, io).warm()
+        val opts = QueryEngine.SearchOpts()
+        QueryEngine.search(idx, ReferenceQueries.head, opts).collect()
+        val lats = ReferenceQueries.map { q =>
+          val t0 = System.nanoTime()
+          QueryEngine.search(idx, q, opts).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache()
+        pct(lats, 0.50)
+      }
+      def runSide(tag: String, io: graft.io.TableIO)
+          : (Double, Double, Double, Double, Double, Double, Double, Double) = {
+        val dir = s"/tmp/graft-bench/snap-$tag"
+        graft.io.ParquetTableIO.drop(spark, dir) // physical wipe either way
+        val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+          fields = Seq("content"), io = io)
+        val (_, buildSec) = timed(IndexBuilder.build(spark,
+          corpus.filter(col("docId") < nDocs), dir, params))
+        var chainMax = 0.0
+        var vacuumSec = 0.0
+        var vacuumed = 0.0
+        val isSnap = io eq snapIo
+        val batchSecs = (0 until nBatches).map { i =>
+          val lo = nDocs + i * step
+          val b = corpus.filter(col("docId") >= lo && col("docId") < lo + step)
+          val (_, s) = timed(IndexBuilder.resume(spark, b, dir,
+            params.copy(inputSnapshot = s"snap-probe-$i")))
+          if (isSnap) {
+            chainMax = math.max(chainMax,
+              snapIo.chainDepth(spark, IndexBuilder.Layout(dir).postings).toDouble)
+            // the StreamingIndexer posture: bounded snapshot debt per batch
+            val (d, vs) = timed(graft.index.Vacuum.vacuumIndex(spark, dir, 2, io))
+            vacuumSec += vs; vacuumed += d.toDouble
+          }
+          s
+        }
+        val manifests =
+          if (isSnap)
+            snapIo.manifestCount(spark, IndexBuilder.Layout(dir).postings).toDouble
+          else 0.0
+        (buildSec, batchSecs.sum / nBatches, hotP50(dir, io),
+          chainMax, vacuumSec / nBatches, vacuumed, manifests, batchSecs.max)
+      }
+      // JIT/classloading warm-up so the FIRST side doesn't pay it alone
+      // (observed: an unwarmed first build reads 2.4x slower than the
+      // second — that is the JVM, not the io layer)
+      locally {
+        val w = "/tmp/graft-bench/snap-warm"
+        graft.io.ParquetTableIO.drop(spark, w)
+        IndexBuilder.build(spark, corpus.filter(col("docId") < 1000),
+          w, IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+            fields = Seq("content")))
+        new SearchIndex(spark, w).stats // touch the query path too
+        graft.io.ParquetTableIO.drop(spark, w)
+      }
+      val (bP, mbP, qP, _, _, _, _, _) = runSide("plain", graft.io.ParquetTableIO)
+      val (bS, mbS, qS, chainMax, vacAvg, vacFiles, manifests, mbSMax) =
+        runSide("snapshot", snapIo)
+      Seq(
+        "snapshot_probe_docs" -> nDocs.toDouble,
+        "snapshot_probe_batch_docs" -> step.toDouble,
+        "snapshot_build_sec" -> bS,
+        "snapshot_build_sec_plain" -> bP,
+        "snapshot_build_overhead" -> (if (bP > 0) bS / bP else 0.0),
+        "snapshot_microbatch_sec" -> mbS,
+        "snapshot_microbatch_sec_max" -> mbSMax,
+        "snapshot_microbatch_sec_plain" -> mbP,
+        "snapshot_microbatch_overhead" -> (if (mbP > 0) mbS / mbP else 0.0),
+        "snapshot_query_p50_sec" -> qS,
+        "snapshot_query_p50_sec_plain" -> qP,
+        "snapshot_query_overhead" -> (if (qP > 0) qS / qP else 0.0),
+        "snapshot_chain_depth_max" -> chainMax,
+        "snapshot_vacuum_sec_per_batch" -> vacAvg,
+        "snapshot_vacuum_files_deleted" -> vacFiles,
+        "snapshot_manifests_postings_final" -> manifests)
+    } finally spark.stop()
+  }
+
   def membwSec(threads: Int, totalPasses: Int = 32): Double = {
     val pool = _root_.java.util.concurrent.Executors.newFixedThreadPool(threads)
     val arr = membwArray
@@ -677,17 +898,19 @@ object Bench {
       r.skewedBlockSkipRatio, r.exhaustiveMeanSec, r.wandMeanSec,
       r.servingDictResidentTerms, r.skewedRefBlockSkip,
       r.servingChunkP50Ms, r.servingChunkP95Ms, r.servingBlockCacheBytes,
-      r.fuzzyDpRows, r.fuzzyDpRowsUnfiltered, r.servingParQpsQuarter) ++
+      r.fuzzyDpRows, r.fuzzyDpRowsUnfiltered, r.servingParQpsQuarter,
+      r.servingDocsResident, r.servingChunkShardedP50Ms,
+      r.servingChunkShardedP95Ms) ++
       r.latencies.toSeq.sortBy(_._1).map(_._2)).mkString("BENCHPART ", ",", "")
 
   private def decode(line: String): RunResult = {
     val xs = line.stripPrefix("BENCHPART ").split(",").map(_.toDouble)
     RunResult(xs(0), xs(1),
-      xs.drop(31).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
+      xs.drop(34).zipWithIndex.map { case (v, i) => f"q${i + 1}%02d" -> v }.toMap,
       xs(2), xs(3), xs(4), xs(5), xs(6), xs(7), xs(8),
       xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15), xs(16), xs(17),
       xs(18), xs(19), xs(20), xs(21), xs(22), xs(23), xs(24), xs(25), xs(26),
-      xs(27), xs(28), xs(29), xs(30))
+      xs(27), xs(28), xs(29), xs(30), xs(31), xs(32), xs(33))
   }
 
   /** Spawn `graft.Bench <args>` in a child JVM and return its marked output
@@ -759,6 +982,7 @@ object Bench {
     "serving_p50_ms_c32", "serving_p95_ms_c32", "serving_qps_c32",
     "serving_par_qps_c8", "serving_par_qps_c32",
     "serving_p50_ms_chunks_c32", "serving_p95_ms_chunks_c32",
+    "serving_p50_ms_chunks_sharded_c32",
     "serving_blocks_resident_frac_c32",
     "wand_vs_exhaustive_speedup", "wand_block_skip_ratio",
     "serving_wand_skip_ratio", "skewed_refquery_block_skip_ratio",
@@ -767,7 +991,7 @@ object Bench {
     "scaling_docs", "scaling_valid_samples", "scaling_pairs_total",
     "scaling_eff_build_8to32", "scaling_kernel_eff_8to32",
     "scaling_membw_eff_8to32", "scaling_eff_build_8to32_normalized",
-    "scaling_eff_build_8to32_best_normalized",
+    "scaling_eff_build_8to32_membw_normalized",
     "scaling_eff_query_8to32", "scaling_eff_query_8to32_normalized",
     "derived_refresh_full_sec", "microbatch_sec_incremental_refresh",
     "microbatch_sec_full_refresh",
@@ -807,6 +1031,22 @@ object Bench {
         .mkString("{", ",", "}"))
       println(entries.map { case (k, v) => s"$k=$v" }
         .mkString("BENCHUPSERT ", ",", ""))
+      return
+    }
+    if (args.nonEmpty && args(0) == "snapshot") { // probe child / dev mode
+      val entries = snapshotProbe(32, math.max(nDocs / 4, 2500L), seed)
+      println(entries.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+      println(entries.map { case (k, v) => s"$k=$v" }
+        .mkString("BENCHSNAPSHOT ", ",", ""))
+      return
+    }
+    if (args.nonEmpty && args(0) == "dict") { // probe child / dev mode
+      val entries = dictProbe(32, math.max(nDocs / 8, 2500L), seed)
+      println(entries.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+      println(entries.map { case (k, v) => s"$k=$v" }
+        .mkString("BENCHDICT ", ",", ""))
       return
     }
     if (args.nonEmpty) { // child mode: one level, machine-readable line
@@ -849,10 +1089,14 @@ object Bench {
     //    where the C8 side was throttled (which would inflate build eff).
     // Invalid samples are RESAMPLED; additionally, a below-bar VALID median
     // resamples too (the verdict-prescribed protocol): keep sampling until
-    // the median-of-valid clears 0.8 raw or normalized, or the 6-pair cap
-    // is hit. All pairs are recorded with their validity flags — the
-    // headline medians run over the valid ones (over all, if a hostile
-    // host never yields 3 clean windows).
+    // the median-of-valid clears 0.8 on any pre-declared efficiency (raw,
+    // kernel-normalized, or membw-normalized), or the pair cap is hit. The
+    // cap is ADAPTIVE (round-4 failure mode: 5 pairs, only 1 valid — a
+    // one-draw median): 6 pairs once >=3 are valid, else up to 10 pairs
+    // inside a 30-minute budget, so a hostile window buys more draws
+    // instead of a one-sample headline. All pairs are recorded with their
+    // validity flags — the headline medians run over the valid ones (over
+    // all, if a hostile host never yields 3 clean windows).
     def kernelEffOf(s: (Double, Double, Double, Double, Double, Double)) =
       (s._2 / s._5) / 4.0
     def membwEffOf(s: (Double, Double, Double, Double, Double, Double)) =
@@ -867,19 +1111,32 @@ object Bench {
     def normEffOf(s: (Double, Double, Double, Double, Double, Double)) = {
       val k = kernelEffOf(s); if (k > 0) rawEffOf(s) / k else 0.0
     }
+    // membw-NORMALIZED efficiency (pre-declared, round-4 verdict item #1b):
+    // membw is the MEASURED contamination axis — every rejected round-3/4
+    // window failed it — so raw / membw-eff corrects exactly the in-band
+    // residue of that contamination. Bounded correction by construction:
+    // the validity band already pins membw-eff to [0.7, 1.3].
+    def membwNormEffOf(s: (Double, Double, Double, Double, Double, Double)) = {
+      val m = membwEffOf(s); if (m > 0) rawEffOf(s) / m else 0.0
+    }
     val sampleBuf =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Double, Double)]
     def needMoreSamples: Boolean = {
       val valid = sampleBuf.toSeq.filter(sampleValid)
       valid.size < 3 ||
-        (median(valid.map(rawEffOf)) < 0.8 && median(valid.map(normEffOf)) < 0.8)
+        (median(valid.map(rawEffOf)) < 0.8 && median(valid.map(normEffOf)) < 0.8 &&
+          median(valid.map(membwNormEffOf)) < 0.8)
     }
+    // adaptive pair cap: 6 once >=3 pairs are valid; up to 10 when the
+    // window keeps polluting samples (<3 valid = a one-draw median)
+    def sampleCap: Int =
+      if (sampleBuf.toSeq.count(sampleValid) >= 3) 6 else 10
     // wall-clock budget on resampling: a hostile host that never yields a
     // clean window must not starve the rest of the bench (an absent
     // artifact is worse than a below-bar one)
     val scaleT0 = System.nanoTime()
-    def scaleBudgetLeft: Boolean = (System.nanoTime() - scaleT0) / 1e9 < 18 * 60
-    while (sampleBuf.size < 6 && needMoreSamples && scaleBudgetLeft)
+    def scaleBudgetLeft: Boolean = (System.nanoTime() - scaleT0) / 1e9 < 30 * 60
+    while (sampleBuf.size < sampleCap && needMoreSamples && scaleBudgetLeft)
       sampleBuf += scalePairIsolated(scaleDocs, seed)
     val samples = sampleBuf.toSeq
     val validFlags = samples.map(sampleValid)
@@ -887,6 +1144,7 @@ object Bench {
     val kernelEffSamples = samples.map(kernelEffOf)
     val membwEffSamples = samples.map(membwEffOf)
     val normSamples = samples.map(normEffOf)
+    val membwNormSamples = samples.map(membwNormEffOf)
     def overValid(xs: Seq[Double]): Seq[Double] = {
       val v = xs.zip(validFlags).collect { case (x, true) => x }
       if (v.nonEmpty) v else xs
@@ -939,6 +1197,26 @@ object Bench {
           upsertProbe(32, math.max(nDocs / 2, 2500L), seed) :+
             ("upsert_probe_in_process" -> 1.0)
       }
+    // snapshot-layer cost at size (build/microbatch/vacuum/query through
+    // SnapshotTableIO vs plain parquet) — child JVM like the other probes
+    def probeChild(name: String, marker: String,
+        inProcess: () => Seq[(String, Double)]): Seq[(String, Double)] =
+      try childLine(Seq(name), marker).stripPrefix(marker)
+        .split(",").toSeq.map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> v.toDouble
+        }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] $name child failed (${e.getMessage}); running in-process")
+          inProcess() :+ (s"${name}_probe_in_process" -> 1.0)
+      }
+    val snapshotEntries = probeChild("snapshot", "BENCHSNAPSHOT ",
+      () => snapshotProbe(32, math.max(nDocs / 4, 2500L), seed))
+    // per-batch dictionary maintenance growth (bucketed incremental vs full)
+    val dictEntries = probeChild("dict", "BENCHDICT ",
+      () => dictProbe(32, math.max(nDocs / 8, 2500L), seed))
     val effQuery =
       if (high.servingParQpsQuarter > 0)
         (high.servingParQps / high.servingParQpsQuarter) / 4.0
@@ -971,9 +1249,16 @@ object Bench {
         // serving dictionary footprint: terms resident in the bounded hot
         // cache after the query mix (the full-vocabulary map is gone)
         "serving_dict_resident_terms_c32" -> high.servingDictResidentTerms,
+        // doc-metadata rows resident in the serving tier after the query
+        // mix — pagination probes per page now, no at-open full-table map
+        "serving_docs_resident_c32" -> high.servingDocsResident,
         // chunk-grain serving (the reference's real search unit — q50/q51)
         "serving_p50_ms_chunks_c32" -> high.servingChunkP50Ms,
         "serving_p95_ms_chunks_c32" -> high.servingChunkP95Ms,
+        // the same chunk index through 4 docGroup shards: scatter-gather +
+        // router cost, identity asserted in the probe (VERDICT r4 item #6)
+        "serving_p50_ms_chunks_sharded_c32" -> high.servingChunkShardedP50Ms,
+        "serving_p95_ms_chunks_sharded_c32" -> high.servingChunkShardedP95Ms,
         // block residency after the query mix: the serving tier holds only
         // the terms queries touched, bounded by the byte-budgeted LRU
         "serving_block_cache_bytes_c32" -> high.servingBlockCacheBytes,
@@ -1040,6 +1325,7 @@ object Bench {
         s"scaling_kernel_eff_8to32_run${i + 1}" -> kernelEffSamples(i),
         s"scaling_membw_eff_8to32_run${i + 1}" -> membwEffSamples(i),
         s"scaling_eff_build_8to32_run${i + 1}_normalized" -> normSamples(i),
+        s"scaling_eff_build_8to32_run${i + 1}_membw_normalized" -> membwNormSamples(i),
         // 1 = the pair's control kernel scaled inside the pre-declared
         // [0.35, 1.25] band; 0 = polluted window, excluded from headlines
         s"scaling_sample_run${i + 1}_valid" -> (if (validFlags(i)) 1.0 else 0.0)) } ++
@@ -1057,11 +1343,12 @@ object Bench {
         "scaling_kernel_eff_8to32" -> median(overValid(kernelEffSamples)),
         "scaling_membw_eff_8to32" -> median(overValid(membwEffSamples)),
         "scaling_eff_build_8to32_normalized" -> median(overValid(normSamples)),
+        "scaling_eff_build_8to32_membw_normalized" -> median(overValid(membwNormSamples)),
         "scaling_eff_build_8to32_best_normalized" -> overValid(normSamples).max,
         "scaling_eff_query_8to32" -> effQuery,
         "scaling_eff_query_8to32_normalized" ->
           (if (spinEff > 0) effQuery / spinEff else 0.0)) ++ compaction ++
-      upsertEntries
+      upsertEntries ++ snapshotEntries ++ dictEntries
     val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = low.buildSec + high.buildSec +
       low.latencies.values.sum + high.latencies.values.sum
@@ -1079,6 +1366,19 @@ object Bench {
     val entryMap = entries.toMap
     val compact = HeadlineKeys.flatMap(k => entryMap.get(k).map(v =>
       s""""$k":${f"$v%.5g".trim}""")).mkString("{", ",", "}")
-    println(jsonLine(s"headline (c8+c32, $nDocs files)", compact))
+    val compactLine = jsonLine(s"headline (c8+c32, $nDocs files)", compact)
+    println(compactLine)
+    // ... and the SAME artifact on DISK + stderr (round-4 verdict item #1c:
+    // BENCH_r04 recorded "parsed": null because the runner's trailing
+    // "[success] ..." line displaced the headline from the last stdout line
+    // — the file makes the artifact independent of stdout geometry)
+    try {
+      val full = jsonLine(s"build+query total (c8+c32, $nDocs files)", qs)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_headline.json"),
+        s"$compactLine\n$full\n".getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_headline.json: $e") }
+    System.err.println(compactLine)
   }
 }

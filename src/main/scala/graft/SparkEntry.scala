@@ -137,6 +137,36 @@ object SparkEntry {
       new SearchIndex(spark, dir)
     })
 
+  /** Index whose derived tables were maintained INCREMENTALLY (q72 gate):
+    * three straddled resume batches with `incrementalDerived = true` (the
+    * default), NO compaction — so the final dictionary is the product of
+    * two bucket-grain incremental merges ((tlen, termBucket) dynamic
+    * overwrites of touched buckets only), never a full re-derivation. The
+    * gate compares the COMPLETE dictionary against DuckDB's from-scratch
+    * term aggregate over the raw text — the end-to-end external check on
+    * the bucketed maintenance path (ResumeSpec proves it bitwise-equal to
+    * the full path and that it does not silently fall back; this gate
+    * proves the result against an independent engine). */
+  def docsIndexIncremental(spark: SparkSession, sfDir: String): SearchIndex =
+    indexCache.computeIfAbsent(s"$sfDir#incr", { _ =>
+      val dir = s"/tmp/graft-entry-index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}-incr"
+      val corpus = docsCorpus(spark, sfDir)
+      val maxId = corpus.agg(max(col("docId"))).collect()(0).getLong(0)
+      val p = IndexBuilder.Params(blockSize = 128, docGroupSize = 1024L,
+        fields = Seq("content"))
+      IndexBuilder.build(spark, corpus.filter(col("docId") <= maxId / 3), dir,
+        p.copy(inputSnapshot = "batch-0"))
+      IndexBuilder.resume(spark, corpus.filter(col("docId") <= 2 * maxId / 3),
+        dir, p.copy(inputSnapshot = "batch-1"))
+      IndexBuilder.resume(spark, corpus, dir, p.copy(inputSnapshot = "batch-2"))
+      val segs = spark.read.parquet(s"$dir/lineage")
+        .select("inputSnapshot").distinct().count()
+      require(segs == 3, s"incremental gate fixture: expected 3 segments, got $segs")
+      require(IndexBuilder.dictBucketCount(spark, dir).isDefined,
+        "incremental gate fixture: bucketed dictionary layout expected")
+      new SearchIndex(spark, dir)
+    })
+
   /** Index with LIVE tombstones (q66 gate): plain build, then docId%7==3
     * tombstoned through graft.index.Deletes — Lucene live-docs semantics,
     * so stats/df deliberately still count the deleted docs while the docs
@@ -402,6 +432,12 @@ object SparkEntry {
       s.read.parquet(graft.index.KeyMap.table(idx.dir))
         .select(col("repo"), col("path"), col("docId").cast("long").as("doc_id"),
           col("sha256").as("sha"))
+    }),
+    "q72_incremental_dict" -> ((s, d) => {
+      // COMPLETE dictionary after two bucket-grain incremental merges —
+      // every term's (df, totalTf) vs DuckDB's from-scratch aggregate
+      docsIndexIncremental(s, d).dictionary
+        .select(col("term"), col("df"), col("totalTf").as("total_tf"))
     }),
     "q15_bm25_multi" -> ((s, d) => {
       Seq("sort table", "group data row", "slow filter")
@@ -1409,6 +1445,10 @@ FROM (SELECT * FROM joined ORDER BY $composite LIMIT $k)"""
         FROM toks JOIN dl ON toks.doc_id = dl.doc_id
         WHERE term IN ('spark','merge','window','batch','query')
         GROUP BY term, toks.doc_id""",
+    "q72_incremental_dict" ->
+      s"""WITH $Toks
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+        FROM toks GROUP BY term""",
     "q13_bm25_topk" -> bm25Sql(Seq("spark", "merge", "join"), 10, diversity = false),
     "q14_bm25_wand" -> bm25Sql(Seq("window", "scan", "filter"), 10, diversity = false),
     // same from-first-principles BM25 restatement — the Spark side answers

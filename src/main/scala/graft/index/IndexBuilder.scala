@@ -148,10 +148,14 @@ object IndexBuilder {
       // the full re-derivation/audit path on every batch
       incrementalDerived: Boolean = true,
       // KeyMap bucket count used when an upsert (re)builds the live-key
-      // sidecar — MUST be provisioned with the corpus (~10^2-10^3 keys per
-      // bucket) or the steady-state probe degrades to a fixed
-      // 1/keymapBuckets-of-the-key-table scan (see KeyMap scaladoc)
-      keymapBuckets: Int = KeyMap.DefaultBuckets,
+      // sidecar. 0 (default) = AUTO: every rebuild derives the count from
+      // the live key volume (keymapTargetKeys per bucket) and the steady
+      // loop re-provisions itself when a bucket outgrows the layout
+      // (KeyMap.SplitFactor) — no manual provisioning. A positive value
+      // pins the count (bench/back-compat).
+      keymapBuckets: Int = 0,
+      // auto-provision target: live keys per keymap bucket
+      keymapTargetKeys: Long = KeyMap.TargetBucketKeys,
       // target rows per dictionary hash bucket: every full refresh derives
       // nBuckets = ceil(vocabulary / this), so the per-batch incremental
       // dictionary rewrite stays O(touched buckets × this) no matter how

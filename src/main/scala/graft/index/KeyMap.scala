@@ -54,6 +54,17 @@ object KeyMap {
   private def markerPath(dir: String) = new Path(s"$dir/_keymap_ok")
 
   val DefaultBuckets = 256
+  /** Auto-provision target: live keys per bucket when `nBuckets = 0` is
+    * passed (the default everywhere now) — every rebuild re-derives
+    * nBuckets = max(16, liveKeys / target), so the layout tracks the
+    * corpus with no manual `keymapBuckets` (VERDICT r4 item #5). */
+  val TargetBucketKeys: Long = 512L
+  /** Organic-growth guard: when a steady-state [[applyBatch]] observes a
+    * touched bucket above SplitFactor × target, the provisioning no longer
+    * bounds the probe — it triggers a full auto-provisioned [[rebuild]]
+    * instead of re-validating the outgrown layout. Amortized O(log growth)
+    * rebuilds over the corpus lifetime. */
+  val SplitFactor: Long = 8L
 
   private def fs(spark: SparkSession, dir: String) =
     markerPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,7 +143,8 @@ object KeyMap {
     * next batch probes ground truth and [[rebuild]]s. */
   def applyBatch(spark: SparkSession, dir: String, adds: DataFrame,
       tombIds: DataFrame, keyCols: Seq[String], nBuckets: Int,
-      io: TableIO = ParquetTableIO): Unit = {
+      io: TableIO = ParquetTableIO,
+      targetKeys: Long = TargetBucketKeys): Unit = {
     invalidate(spark, dir) // defensive: never mutate under a live marker
     val addRows = adds.select((keyCols.map(col) :+ col("docId") :+
       col("sha256")): _*).withColumn("keyBucket", bucketOf(keyCols, nBuckets))
@@ -162,20 +174,39 @@ object KeyMap {
       io.drop(spark, stage)
       io.overwriteTable(next, stage, Seq.empty)
       val staged = io.read(spark, stage)
+      // organic-growth guard (see [[SplitFactor]]): the staged rewrite
+      // already holds the touched buckets' full row sets — one O(touched)
+      // aggregate detects an outgrown bucket before the marker comes back
+      val maxBucketRows =
+        if (staged.isEmpty) 0L
+        else staged.groupBy(col("keyBucket")).count()
+          .agg(max(col("count"))).collect()(0).getLong(0)
       touched.foreach(b => io.deletePartitions(spark, table(dir),
         Seq("keyBucket" -> b.toString)))
       if (!staged.isEmpty)
         io.overwritePartitions(staged, table(dir), Seq("keyBucket"))
       io.drop(spark, stage)
+      if (maxBucketRows > SplitFactor * targetKeys) {
+        // the layout no longer bounds the probe: re-derive with an
+        // auto-provisioned bucket count (writes the marker itself)
+        rebuild(spark, dir, keyCols, 0, io, targetKeys)
+        return
+      }
     }
     writeMarker(spark, dir, keyCols, nBuckets)
   }
 
   /** Full derive from ground truth (docs ⊖ tombstones) — the bootstrap,
     * repair and audit path; re-validates the marker. O(index), paid once
-    * after any out-of-band mutation, never in the steady upsert loop. */
+    * after any out-of-band mutation (or an organic-growth re-provision),
+    * never in the steady upsert loop.
+    *
+    * `nBuckets = 0` (the default posture) AUTO-PROVISIONS: nBuckets =
+    * max(16, liveKeys / targetKeys), so the bucket size — and with it the
+    * probe cost per touched bucket — stays pinned as the corpus grows. */
   def rebuild(spark: SparkSession, dir: String, keyCols: Seq[String],
-      nBuckets: Int = DefaultBuckets, io: TableIO = ParquetTableIO): Unit = {
+      nBuckets: Int = 0, io: TableIO = ParquetTableIO,
+      targetKeys: Long = TargetBucketKeys): Unit = {
     io.drop(spark, s"${table(dir)}._stage") // crashed applyBatch residue
     val layout = IndexBuilder.Layout(dir)
     // lineage-committed segments only (ADVICE r4): a crashed batch's orphan
@@ -190,9 +221,12 @@ object KeyMap {
       case Some(t) => live0.join(t.select("docId"), Seq("docId"), "left_anti")
       case None => live0
     }
-    io.overwriteTable(live.withColumn("keyBucket", bucketOf(keyCols, nBuckets))
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else math.max(16L, live.count() / math.max(1L, targetKeys)).toInt
+    io.overwriteTable(live.withColumn("keyBucket", bucketOf(keyCols, nb))
         .repartition(col("keyBucket")), // one file per bucket (see applyBatch)
       table(dir), Seq("keyBucket"))
-    writeMarker(spark, dir, keyCols, nBuckets)
+    writeMarker(spark, dir, keyCols, nb)
   }
 }

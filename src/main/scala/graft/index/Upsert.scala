@@ -219,8 +219,10 @@ object Upsert {
           .select((keyCs :+ col("docId").cast("long").as("docId") :+
             col("sha256")): _*)
       viaKeymap match {
-        case Some(nb) => KeyMap.applyBatch(spark, dir, addRows, tombs, keyCols, nb, io)
-        case None => KeyMap.rebuild(spark, dir, keyCols, params.keymapBuckets, io)
+        case Some(nb) => KeyMap.applyBatch(spark, dir, addRows, tombs, keyCols,
+          nb, io, params.keymapTargetKeys)
+        case None => KeyMap.rebuild(spark, dir, keyCols, params.keymapBuckets,
+          io, params.keymapTargetKeys)
       }
     }
     stageFs.delete(stageP, true)

@@ -110,6 +110,17 @@ object SnapshotTableIO extends TableIO {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     listVersions(fsOf(spark, path), path).lastOption
 
+  /** Observability: committed manifests currently on disk (grows with
+    * commits, shrinks at vacuum) — the snapshot-debt axis the bench
+    * records. */
+  def manifestCount(spark: SparkSession, path: String): Int =
+    listVersions(fsOf(spark, path), path).size
+
+  /** Observability: delta-chain depth of the CURRENT snapshot (0 = full
+    * manifest on disk; bounded by [[MaxChain]] by construction). */
+  def chainDepth(spark: SparkSession, path: String): Int =
+    current(spark, path).map(_.depth).getOrElse(0)
+
   private def rawLines(spark: SparkSession, path: String, v: Long): List[String] = {
     val fs = fsOf(spark, path)
     val in = fs.open(manifestPath(path, v))

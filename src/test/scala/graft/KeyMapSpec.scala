@@ -76,7 +76,8 @@ class KeyMapSpec extends AnyFunSuite {
     val p1 = params.copy(inputSnapshot = "snap-km-b1")
     assert(Upsert.upsert(spark, b1, dA, p1, key) ==
       Upsert.upsert(spark, b1, dB, p1, key))
-    assert(KeyMap.validBuckets(spark, dA, key).contains(KeyMap.DefaultBuckets))
+    // auto-provisioned: max(16, liveKeys/512) = 16 at this corpus size
+    assert(KeyMap.validBuckets(spark, dA, key).contains(16))
 
     // batch 2: dA probes THROUGH the keymap; dB is forced onto the
     // ground-truth docs probe by invalidating its marker
@@ -118,9 +119,12 @@ class KeyMapSpec extends AnyFunSuite {
       sha2(col("content"), 256).as("sha256"))
     KeyMap.applyBatch(spark, dir, empty, victim, key, nb)
 
+    // the probe returns the whole touched bucket (other live keys may share
+    // it under auto-provisioned counts) — the VICTIM's row must be gone
     val probed = KeyMap.probe(spark, dir, victim.select("repo", "path"), key, nb)
       .collect()
-    assert(probed.isEmpty, "tombstoned row survived in its keymap bucket")
+    assert(!probed.exists(_.getAs[Long]("_oldId") == 3L),
+      "tombstoned row survived in its keymap bucket")
     // the rest of the table is intact: a full rebuild differs by exactly
     // the victim row
     val after = keymapRows(dir)
@@ -175,6 +179,59 @@ class KeyMapSpec extends AnyFunSuite {
     // out-of-band tombstones invalidate
     Deletes.deleteIds(spark, dir, v1.filter(col("docId") === 1).select("docId"))
     assert(KeyMap.validBuckets(spark, dir, key).isEmpty, "deleteIds must invalidate")
+  }
+
+  test("auto-provision: 10x organic growth through upserts re-provisions " +
+      "the bucket count and keeps a fixed probe flat — no manual keymapBuckets") {
+    val dir = "/tmp/graft-test/km-grow"
+    build(dir)
+    // tiny per-bucket target so the growth guard triggers at test scale;
+    // keymapBuckets stays 0 (auto) throughout — the point of the test
+    val p = params.copy(keymapTargetKeys = 8L)
+    Upsert.upsert(spark, batch("g0", fresh = 3), dir,
+      p.copy(inputSnapshot = "snap-g0"), key)
+    val nb0 = KeyMap.validBuckets(spark, dir, key).get
+    assert(nb0 >= 16, s"bootstrap rebuild must auto-provision (nb=$nb0)")
+
+    def probeBytes(): Double = {
+      val nb = KeyMap.validBuckets(spark, dir, key).get
+      val probe = KeyMap.probe(spark, dir,
+        v1.filter(col("docId") < 20).select("repo", "path"), key, nb)
+      probe.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalFileSize.toDouble
+      }.sum
+    }
+    val bytes1x = probeBytes()
+
+    // ~10x the live keys through upsert ADDS (fresh keys per seed), marker
+    // valid throughout — the steady loop, no out-of-band mutations
+    (1 to 10).foreach { i =>
+      val fresh = CorpusGen.generateDF(spark, N, seed = 1000L + i, partitions = 3)
+        .drop("docId").withColumn("sha256", sha2(col("content"), 256))
+      val r = Upsert.upsert(spark, fresh, dir,
+        p.copy(inputSnapshot = s"snap-g$i"), key)
+      assert(r.added > 0)
+    }
+    val nb1 = KeyMap.validBuckets(spark, dir, key).get
+    assert(nb1 > nb0,
+      s"organic 10x growth must re-provision the bucket count ($nb0 -> $nb1)")
+    // the growth guard held: no bucket beyond SplitFactor x target
+    val maxBucket = spark.read.parquet(KeyMap.table(dir))
+      .groupBy(col("keyBucket")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket <= KeyMap.SplitFactor * 8L * 2,
+      s"bucket outgrew the re-provisioned layout: $maxBucket rows")
+    // the SAME fixed probe reads ~flat bytes at 10x the corpus (footer +
+    // pinned bucket size; without re-provision this grows ~10x)
+    val bytes10x = probeBytes()
+    assert(bytes10x <= 3.0 * bytes1x,
+      s"probe not flat under growth: $bytes1x -> $bytes10x bytes")
+    // and the keymap still equals ground truth (the differential that makes
+    // the re-provision trustworthy)
+    val view = liveView(dir)
+    assert(keymapRows(dir).map(s => (s(0), s(1), s(3))) ==
+      view.map(t => (t._1: Any, t._2: Any, t._3: Any)))
   }
 
   test("probe scan is partition-pruned to the touched buckets") {

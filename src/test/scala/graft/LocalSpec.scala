@@ -50,9 +50,13 @@ class LocalSpec extends AnyFunSuite {
 
   test("sharded serving (scatter-gather over docGroup shards) == unsharded") {
     val sharded = LocalSearcher.loadSharded(index, nShards = 3)
-    // shards partition the doc space exactly
-    assert(sharded.shards.map(_.docs.size).sum == local.docs.size)
-    assert(sharded.shards.forall(_.docs.nonEmpty))
+    // shards partition the doc space exactly (probed at page grain now —
+    // doc metadata is served by the bounded cache, not an at-open map)
+    val allIds = index.docs.select("docId").collect().map(_.getLong(0)).toSeq
+    val perShard = sharded.shards.map(_.docsOf(allIds))
+    assert(perShard.map(_.size).sum == allIds.size,
+      "shards must partition the doc space without overlap or loss")
+    assert(perShard.forall(_.nonEmpty))
     for {
       opts <- Seq(SearchOpts(k = 10),
         SearchOpts(k = 10, diversity = false),
@@ -126,6 +130,31 @@ class LocalSpec extends AnyFunSuite {
         LocalSearcher.search(local, q, SearchOpts(k = 10)))
     }
     assert(capped.residentBlockTerms > 0)
+  }
+
+  test("budgeted doc-metadata cache: identity under eviction + bounded residency") {
+    // a cap below one page (k*overfetch = 30) forces eviction on every
+    // paginate; results must stay identical and residency must respect it
+    val cap = 10
+    val capped = LocalSearcher.load(index, docCacheEntries = cap)
+    for {
+      opts <- Seq(SearchOpts(k = 10),
+        SearchOpts(k = 10, fields = Seq("content" -> 1.5, "path" -> 2.5),
+          phraseBoost = 2.0))
+      q <- queries
+    } {
+      val a = LocalSearcher.search(capped, q, opts)
+      val b = LocalSearcher.search(local, q, opts)
+      assert(a == b, s"doc-capped serving diverged on '$q' ($opts)")
+      assert(capped.residentDocs <= cap,
+        s"doc cache over cap: ${capped.residentDocs} > $cap")
+    }
+    // repeat pass: evicted metadata re-probes correctly
+    queries.foreach { q =>
+      assert(LocalSearcher.search(capped, q, SearchOpts(k = 10)) ==
+        LocalSearcher.search(local, q, SearchOpts(k = 10)))
+    }
+    assert(capped.residentDocs > 0)
   }
 
   test("serving-mode latency is reference-class (sub-20ms once warm)") {

@@ -330,6 +330,65 @@ class SnapshotSpec extends AnyFunSuite {
     assert(page(idx2, "zzedit") == page(idx, "zzedit"))
   }
 
+  test("fuzz: interleaved upsert/delete/compact/vacuum commits — pinned " +
+      "readers bitwise-stable across MaxChain rebases, zero read failures") {
+    val d = "/tmp/graft-test/snap-fuzz"
+    IndexBuilder.deleteDir(spark, d)
+    val p = params(SnapshotTableIO)
+    IndexBuilder.build(spark, corpus, d, p.copy(inputSnapshot = "fz-base"))
+    val layout = IndexBuilder.Layout(d)
+    def docsNow() = SnapshotTableIO.read(spark, layout.docs)
+    def snap(df: DataFrame): Set[Seq[Any]] =
+      df.select(col("docId").cast("long"), col("repo"), col("path"), col("sha256"))
+        .collect().map(_.toSeq).toSet
+    // pinned readers: each plan resolved its manifest at pin time; every
+    // later commit — including delta-chain rebases at MaxChain and vacuums
+    // inside the retain horizon — must never change what it reads
+    val pins = scala.collection.mutable.ArrayBuffer[(DataFrame, Set[Seq[Any]])]()
+    def pin(): Unit = { val df = docsNow(); pins += df -> snap(df); () }
+    pin()
+    val rnd = new scala.util.Random(7L)
+    (1 to 12).foreach { i =>
+      rnd.nextInt(4) match {
+        case 0 => // re-crawl upsert of a key slice (tombstone + fresh ids)
+          val b = corpus.filter(col("docId") % 5 === (i % 5).toLong).drop("docId")
+            .withColumn("content", concat(col("content"), lit(s" fz$i")))
+          Upsert.upsert(spark, b, d, p.copy(inputSnapshot = s"fz-u$i"), key)
+        case 1 => // brand-new keys through the upsert add path
+          val fresh = CorpusGen.generateDF(spark, 30L, seed = 900L + i,
+            partitions = 2).drop("docId")
+          Upsert.upsert(spark, fresh, d, p.copy(inputSnapshot = s"fz-a$i"), key)
+        case 2 =>
+          Deletes.deleteWhere(spark, d,
+            pmod(col("docId"), lit(7)) === (i % 7).toLong, SnapshotTableIO)
+        case 3 => // may be a no-op when nothing qualifies — that is fine
+          Compaction.expungeDeletes(spark, d, blockSize = 32, SnapshotTableIO)
+          ()
+      }
+      // every live pin re-reads bitwise-equal BEFORE the vacuum...
+      pins.foreach { case (df, exp) =>
+        assert(snap(df) == exp, s"pinned reader drifted at step $i") }
+      // ...and survives a vacuum whose horizon covers it (retain 30 >> the
+      // ≤2-iteration age of the kept pins)
+      graft.index.Vacuum.vacuumIndex(spark, d, retain = 30, SnapshotTableIO)
+      pins.foreach { case (df, exp) =>
+        assert(snap(df) == exp, s"pinned reader lost files to vacuum at step $i") }
+      pin()
+      if (pins.size > 2) pins.remove(0, pins.size - 2) // rotate the horizon
+      assert(SnapshotTableIO.chainDepth(spark, layout.docs) <= 8,
+        "delta chain exceeded MaxChain")
+    }
+    // the fuzz must actually have crossed a MaxChain rebase somewhere
+    val versions = Seq(layout.docs, layout.postings, Deletes.tombstones(d))
+      .flatMap(t => SnapshotTableIO.currentVersion(spark, t))
+    assert(versions.exists(_ > 8),
+      s"fixture too small to cross a MaxChain rebase (versions: $versions)")
+    // final sweep to the steady horizon still leaves the current state whole
+    val finalRows = snap(docsNow())
+    graft.index.Vacuum.vacuumIndex(spark, d, retain = 2, SnapshotTableIO)
+    assert(snap(docsNow()) == finalRows, "tight vacuum changed the current snapshot")
+  }
+
   test("partition pruning survives the manifest read path") {
     val t = "/tmp/graft-test/snap-prune"
     SnapshotTableIO.drop(spark, t)
