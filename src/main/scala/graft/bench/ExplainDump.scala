@@ -19,8 +19,12 @@ object ExplainDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/tmp/graft-explain/index"
+    // dictTargetBucketRows small so the 2k-doc fixture provisions MANY
+    // termBuckets — the two-level pruning sections show real bucket
+    // predicates, not a degenerate single-bucket layout
     IndexBuilder.build(spark, CorpusGen.generateDF(spark, 2000L, 42L, 8), dir,
-      IndexBuilder.Params(blockSize = 128, docGroupSize = 512L))
+      IndexBuilder.Params(blockSize = 128, docGroupSize = 512L,
+        dictTargetBucketRows = 64L))
     val index = new SearchIndex(spark, dir)
 
     def fmt(df: org.apache.spark.sql.DataFrame): String =
