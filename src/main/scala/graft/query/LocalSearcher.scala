@@ -195,11 +195,11 @@ object LocalSearcher {
       * and docs files are sorted by docId within partitions, so parquet
       * row-group stats skip — and `docCacheEntries` bounds residency
       * (default unbounded = the resident-after-warm-up posture). ABSENT
-      * ids cache as None (the [[dfs]] discipline): in the sharded scatter
-      * every shard is probed with the whole page's ids, and without
-      * absence caching each repeat query would re-pay (shards − 1) probe
-      * jobs for ids it can never own (measured: 140 ms sharded p50 vs
-      * sub-ms once absence is cached). */
+      * ids cache as None (the [[dfs]] discipline) — with the sharded
+      * router's owner routing a shard is only ever asked for ids it
+      * scored, so absence is the defensive case, but an unrouted caller
+      * must never re-pay a probe job per repeat for ids a shard cannot
+      * own (measured before routing: 140 ms sharded p50 vs sub-ms). */
     private val docCache =
       new _root_.java.util.LinkedHashMap[Long, Option[DocMeta]](16, 0.75f, true) {
         override def removeEldestEntry(
@@ -246,11 +246,13 @@ object LocalSearcher {
     * merge keeps global top-(k·overfetch) by (score desc, docId asc) —
     * rank- and score-identical to a single resident index (LocalSpec). */
   final class ShardedIndex(val shards: IndexedSeq[LocalIndex]) {
-    /** Page metadata, one batched pruned probe per shard (a shard returns
-      * only its own ids; docGroup ownership is not derivable from a bare
-      * docId here — a production router would carry the group). */
-    def docMetas(ids: Seq[Long]): Map[Long, DocMeta] =
-      shards.map(_.docsOf(ids)).reduce(_ ++ _)
+    /** Page metadata with OWNER ROUTING: each id is fetched only from the
+      * shard that scored it (the scatter already knows the owner — a
+      * docId's candidate came from exactly one shard), so a page costs at
+      * most one pruned probe per OWNING shard, never a broadcast probe of
+      * every shard for every id. */
+    def docMetas(idsByShard: Map[Int, Seq[Long]]): Map[Long, DocMeta] =
+      idsByShard.iterator.flatMap { case (s, ids) => shards(s).docsOf(ids) }.toMap
   }
 
   def loadSharded(index: SearchIndex, nShards: Int): ShardedIndex =
@@ -339,8 +341,13 @@ object LocalSearcher {
   def searchSharded(si: ShardedIndex, query: String,
       opts: SearchOpts = SearchOpts()): Seq[Hit] = {
     val m = opts.k * opts.overfetch
-    val merged = si.shards.flatMap(s => scoredCandidates(s, query, opts))
-      .sortBy { case (d, s) => (-s, d) }.take(m)
-    paginate(merged, si.docMetas(merged.map(_._1)), opts)
+    // candidates tagged with their producing shard — the router's owner map
+    val merged = si.shards.zipWithIndex
+      .flatMap { case (s, i) =>
+        scoredCandidates(s, query, opts).map { case (d, sc) => (d, sc, i) } }
+      .sortBy { case (d, s, _) => (-s, d) }.take(m)
+    val owners = merged.groupBy(_._3).view
+      .mapValues(_.map(_._1).toSeq).toMap
+    paginate(merged.map { case (d, s, _) => (d, s) }, si.docMetas(owners), opts)
   }
 }
