@@ -624,8 +624,9 @@ object Bench {
     * The corpus gets 3 per-doc unique identifiers appended (real code files
     * carry unique symbol names — Heaps'-law vocabulary growth; CorpusGen's
     * base vocabulary is fixed-size and would hide the full-rewrite growth),
-    * and the probe provisions small buckets (dictTargetBucketRows = 512) so
-    * the touched-pair set is a strict subset at bench vocabulary — at a
+    * and the probe provisions small pairs (dictTargetBucketRows = 64 —
+    * the target is per PHYSICAL (tlen, termBucket) partition) so the
+    * touched-pair set is a strict subset at bench vocabulary — at a
     * 10^9-term vocabulary the default 64Ki target gives the same subset
     * property against 10^4-10^5-distinct-term micro-batches.
     *
@@ -643,7 +644,7 @@ object Bench {
     try {
       import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
       val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
-        fields = Seq("content"), dictTargetBucketRows = 512L)
+        fields = Seq("content"), dictTargetBucketRows = 64L)
       val batchN = 100L
       def corpusTo(n: Long): org.apache.spark.sql.DataFrame =
         CorpusGen.generateDF(spark, n, seed, partitions = cpus * 4)

@@ -159,6 +159,11 @@ object SparkEntry {
       IndexBuilder.resume(spark, corpus.filter(col("docId") <= 2 * maxId / 3),
         dir, p.copy(inputSnapshot = "batch-1"))
       IndexBuilder.resume(spark, corpus, dir, p.copy(inputSnapshot = "batch-2"))
+      // falsifiability: the LAST resume must actually have taken the
+      // incremental path — a silent fallback to the full re-derivation
+      // would validate the wrong code against the oracle
+      require(IndexBuilder.lastDerivedIncremental,
+        "incremental gate fixture: the resume fell back to the full refresh")
       val segs = spark.read.parquet(s"$dir/lineage")
         .select("inputSnapshot").distinct().count()
       require(segs == 3, s"incremental gate fixture: expected 3 segments, got $segs")

@@ -198,6 +198,13 @@ object IndexBuilder {
     def derivedSegments = s"$dir/derived_segments"
   }
 
+  /** Diagnostic: whether the LAST build/resume on this JVM maintained the
+    * derived tables incrementally (vs the full re-derivation fallback) —
+    * the falsifiability hook for fixtures that claim to exercise the
+    * incremental path (SparkEntry.docsIndexIncremental, ResumeSpec). Not
+    * part of any engine decision. */
+  @volatile private[graft] var lastDerivedIncremental: Boolean = false
+
   /** Default [[Params.dictTargetBucketRows]]: 64Ki terms per bucket keeps a
     * touched-bucket rewrite in the tens-of-MB range while bounding the
     * bucket count at ~16k even for a 10^9-term vocabulary. */
@@ -222,16 +229,29 @@ object IndexBuilder {
     (((h % b) + b) % b).toInt
   }
 
-  /** The dictionary's termBucket count, or None when the index predates the
-    * bucketed layout / a full-refresh crash window left the marker absent
-    * (see [[Layout.dictionaryMeta]]). */
-  private[graft] def dictBucketCount(spark: SparkSession, dir: String,
-      io: TableIO = ParquetTableIO): Option[Int] = {
+  /** The dictionary's (termBucket count, provisioning target), or None when
+    * the index predates the bucketed layout / a full-refresh crash window
+    * left the marker absent (see [[Layout.dictionaryMeta]]). Tolerates the
+    * pre-target meta schema (target defaults). */
+  private[graft] def dictMeta(spark: SparkSession, dir: String,
+      io: TableIO = ParquetTableIO): Option[(Int, Long)] = {
     val meta = Layout(dir).dictionaryMeta
     if (!io.exists(spark, meta)) None
-    else io.read(spark, meta).select("nBuckets").collect()
-      .headOption.map(_.getInt(0))
+    else {
+      val df = io.read(spark, meta)
+      val hasTarget = df.columns.contains("targetRows")
+      df.collect().headOption.map { r =>
+        (r.getAs[Int]("nBuckets"),
+          if (hasTarget) r.getAs[Long]("targetRows")
+          else DefaultDictTargetBucketRows)
+      }
+    }
   }
+
+  /** The dictionary's termBucket count — see [[dictMeta]]. */
+  private[graft] def dictBucketCount(spark: SparkSession, dir: String,
+      io: TableIO = ParquetTableIO): Option[Int] =
+    dictMeta(spark, dir, io).map(_._1)
 
   /** Deterministic docId for corpora without one: xxhash64 of the natural
     * key, folded into the NON-NEGATIVE 63-bit range — full-range signed
@@ -477,6 +497,7 @@ object IndexBuilder {
     val didIncremental = resume && hadDenseIds && params.incrementalDerived &&
       refreshDerivedIncremental(spark, dir, segment, io)
     if (!didIncremental) refreshDerived(spark, dir, io, params.dictTargetBucketRows)
+    lastDerivedIncremental = didIncremental
 
     // ---- lineage LAST (the commit marker a resume trusts): per-(docGroup,
     // segment) rows, partitioned by snapshot — dynamic overwrite of THIS
@@ -586,13 +607,28 @@ object IndexBuilder {
     // FULL overwrite (not dynamic): the dictionary is purely derived, and a
     // partition whose terms all disappeared (Retention expiry) must not
     // survive as stale rows.
+    // the index's configured target survives refreshes that don't know it
+    // (Retention/Compaction call with the default): the existing meta's
+    // target wins over the default, an explicit non-default param wins
+    // over both — so the layout never flaps between two provisions
+    val target =
+      if (dictTargetBucketRows != DefaultDictTargetBucketRows) dictTargetBucketRows
+      else dictMeta(spark, dir, io).map(_._2).getOrElse(DefaultDictTargetBucketRows)
     val dictAgg = allBlocks.groupBy($"field", $"term")
       .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
         count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
         min($"minDl").as("minDl"))
-    val vocab = dictAgg.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // provision at PHYSICAL-PARTITION grain: rows land in (tlen, termBucket)
+    // PAIRS, so a global-vocab/target bucket count would leave every pair
+    // holding ~target/#tlen-bands rows — #bands× more, smaller files (and
+    // manifest lines) than provisioned. One job yields vocab AND bands.
+    val prov = dictAgg.agg(count(lit(1)).as("v"),
+      countDistinct(length($"term")).as("b")).collect()(0)
+    val vocab = prov.getLong(0)
+    val bands = math.max(1L, prov.getLong(1))
     val nBuckets = math.max(1L,
-      (vocab + dictTargetBucketRows - 1) / dictTargetBucketRows).toInt
+      (vocab + bands * target - 1) / (bands * target)).toInt
     // meta DROPPED first, re-written last: any crash window leaves it
     // absent, which consumers treat as "no bucket layout" (always safe —
     // see Layout.dictionaryMeta)
@@ -603,8 +639,10 @@ object IndexBuilder {
         .withColumn("termBucket", termBucketCol(nBuckets))
         .repartition($"tlen", $"termBucket").sortWithinPartitions("field", "term"),
       layout.dictionary, Seq("tlen", "termBucket"))
+    dictAgg.unpersist()
     io.overwritePartitions(
-      Seq(nBuckets).toDF("nBuckets").coalesce(1), layout.dictionaryMeta, Nil)
+      Seq((nBuckets, target)).toDF("nBuckets", "targetRows").coalesce(1),
+      layout.dictionaryMeta, Nil)
 
     io.overwritePartitions(
       fields.map { f =>

@@ -217,16 +217,24 @@ object KeyMap {
       .withColumn("segment", col("segment").cast("string"))
       .join(Upsert.committedSegments(spark, dir, io), Seq("segment"), "left_semi")
       .select((keyCols.map(col) :+ col("docId") :+ col("sha256")): _*)
-    val live = Deletes.df(spark, dir, io) match {
+    val live0d = Deletes.df(spark, dir, io) match {
       case Some(t) => live0.join(t.select("docId"), Seq("docId"), "left_anti")
       case None => live0
     }
+    // auto-provisioning consumes the live view twice (count, then the
+    // write) — persist so the O(index) docs scan + tombstone anti-join
+    // runs once per rebuild, not twice
+    val auto = nBuckets <= 0
+    val live =
+      if (auto) live0d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else live0d
     val nb =
-      if (nBuckets > 0) nBuckets
-      else math.max(16L, live.count() / math.max(1L, targetKeys)).toInt
+      if (auto) math.max(16L, live.count() / math.max(1L, targetKeys)).toInt
+      else nBuckets
     io.overwriteTable(live.withColumn("keyBucket", bucketOf(keyCols, nb))
         .repartition(col("keyBucket")), // one file per bucket (see applyBatch)
       table(dir), Seq("keyBucket"))
+    if (auto) { live.unpersist(); () }
     writeMarker(spark, dir, keyCols, nb)
   }
 }

@@ -156,6 +156,11 @@ object Upsert {
     stageFs.delete(stageP, true) // crashed-run residue
     tombs0.write.parquet(s"$stageP/tombs")
     val tombs = spark.read.parquet(s"$stageP/tombs")
+    // the adds side stages PRE-id: this is the single evaluation of the
+    // probe-join/window chain — the count, the id-assignment jobs and the
+    // resume all read the staged parquet, never the live plan again
+    adds.drop("_sha").write.parquet(s"$stageP/adds0")
+    val stagedAdds = spark.read.parquet(s"$stageP/adds0")
 
     // marker OFF before the first index mutation (the keymap TABLE stays
     // readable for this batch's lazy plans): a crash anywhere below leaves
@@ -163,7 +168,7 @@ object Upsert {
     // never read. Re-validated by the maintenance step at the end.
     KeyMap.invalidate(spark, dir)
 
-    val nAdds = adds.count()
+    val nAdds = stagedAdds.count()
     val added =
       if (nAdds == 0L) 0L
       else {
@@ -174,8 +179,8 @@ object Upsert {
           if (!io.exists(spark, layout.lineage)) 0L
           else io.read(spark, layout.lineage)
             .agg(max(col("maxDocId"))).collect()(0).getLong(0) + 1L
-        val parts = math.max(1, adds.rdd.getNumPartitions)
-        val ordered = adds.drop("_sha")
+        val parts = math.max(1, stagedAdds.rdd.getNumPartitions)
+        val ordered = stagedAdds
           .repartitionByRange(parts, keyCs: _*).sortWithinPartitions(keyCs: _*)
         val schema = ordered.schema.add("docId", LongType, nullable = false)
         val withIds = spark.createDataFrame(

@@ -48,6 +48,15 @@ object WriterLock {
     * broken by a second writer — the exact race the lock exists to stop). */
   private val heartbeats =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+  /** Per-dir monitor serializing a heartbeat tick's check-and-renew against
+    * releaseFile's delete: cancel(false) does not wait for an in-flight
+    * tick, so without this a tick that passed the held check just before
+    * release could resurrect the lease AFTER the delete — an orphan lease
+    * nobody renews that hard-fails other writers until staleMs. */
+  private val hbMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def hbMonitor(dir: String): Object =
+    hbMonitors.computeIfAbsent(dir, _ => new Object)
   private lazy val heartbeatPool = {
     val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
       val t = new Thread(r, "graft-writerlock-heartbeat"); t.setDaemon(true); t
@@ -161,20 +170,29 @@ object WriterLock {
     val conf = spark.sparkContext.hadoopConfiguration
     val period = math.max(1000L, staleMs / 3)
     val task: Runnable = () => try {
-      val p = new Path(lockPath(dir))
-      val fs = p.getFileSystem(conf)
-      readLease(fs, p) match {
-        case Some((uuid, _, _)) if uuid != ownerUuid => () // taken over: stand down
-        case _ => // ours, vanished (build dropped the dir) or residue: renew
-          if (held.containsKey(dir)) {
-            fs.mkdirs(p.getParent)
-            val out = fs.create(p, /*overwrite=*/ true)
-            try out.write(s"$ownerUuid $pid ${System.currentTimeMillis()}"
-              .getBytes("UTF-8"))
-            finally out.close()
-          }
+      // tick and releaseFile serialize on the per-dir monitor (see
+      // hbMonitors); the held check must sit INSIDE it so a release that
+      // already dropped the bookkeeping can never be followed by a renew
+      hbMonitor(dir).synchronized {
+        val p = new Path(lockPath(dir))
+        val fs = p.getFileSystem(conf)
+        readLease(fs, p) match {
+          case Some((uuid, _, _)) if uuid != ownerUuid => () // taken over: stand down
+          case _ => // ours, vanished (build dropped the dir) or residue: renew
+            if (held.containsKey(dir)) {
+              fs.mkdirs(p.getParent)
+              val out = fs.create(p, /*overwrite=*/ true)
+              try out.write(s"$ownerUuid $pid ${System.currentTimeMillis()}"
+                .getBytes("UTF-8"))
+              finally out.close()
+            }
+        }
       }
-    } catch { case _: java.io.IOException => () } // transient fs hiccup: next tick retries
+      // NonFatal, not just IOException: ANY exception escaping a
+      // scheduleAtFixedRate task silently cancels all future executions —
+      // a long mutation would then cross the staleness horizon unrenewed,
+      // reintroducing the live-lease break this heartbeat exists to stop
+    } catch { case scala.util.control.NonFatal(_) => () } // next tick retries
     val prev = heartbeats.put(dir,
       heartbeatPool.scheduleAtFixedRate(task, period, period,
         java.util.concurrent.TimeUnit.MILLISECONDS))
@@ -196,14 +214,21 @@ object WriterLock {
     } catch { case _: java.io.IOException => false }
 
   private def releaseFile(spark: SparkSession, dir: String): Unit = {
-    stopHeartbeat(dir) // before the delete, or a late tick re-creates the lease
-    val p = new Path(lockPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // only our own lease: a forceUnlock+takeover while we ran must not
-    // clobber the new holder
-    readLease(fs, p) match {
-      case Some((uuid, _, _)) if uuid == ownerUuid => fs.delete(p, false)
-      case _ => ()
+    stopHeartbeat(dir) // no future ticks; an IN-FLIGHT one holds the monitor
+    // the delete runs inside the same per-dir monitor as a tick's
+    // check-and-renew: cancel(false) does not wait for a running tick, and
+    // an unserialized tick could resurrect the lease after this delete
+    // (held is already empty here — see withLock's finally ordering — so a
+    // tick that enters the monitor after us skips the renew)
+    hbMonitor(dir).synchronized {
+      val p = new Path(lockPath(dir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // only our own lease: a forceUnlock+takeover while we ran must not
+      // clobber the new holder
+      readLease(fs, p) match {
+        case Some((uuid, _, _)) if uuid == ownerUuid => fs.delete(p, false); ()
+        case _ => ()
+      }
     }
   }
 
@@ -214,7 +239,14 @@ object WriterLock {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
       txt.trim.split("\\s+") match {
-        case Array(u, pd, at) => Some((u, pd.toLong, at.toLong))
+        case Array(u, pd, at) =>
+          // non-numeric fields = torn/foreign content: stale, like a
+          // partial write (toLong throwing here would propagate out of the
+          // heartbeat tick and silently cancel the renewal schedule)
+          (pd.toLongOption, at.toLongOption) match {
+            case (Some(pdL), Some(atL)) => Some((u, pdL, atL))
+            case _ => None
+          }
         case _ => None // partial write: treat as stale
       }
     } catch { case _: java.io.IOException => None }

@@ -84,34 +84,60 @@ class SearchIndex(val spark: SparkSession, val dir: String,
   /** (field, term) -> df. Hot map if warmed, else a predicate-pushed scan —
     * tlen IS the dictionary's partition column, so probing with the query
     * terms' lengths prunes to O(distinct term lengths) partitions before
-    * the term filter runs (same trick as fuzzyExpand's length bands). */
+    * the term filter runs (same trick as fuzzyExpand's length bands).
+    *
+    * The termBucket pruning level is an optimization with a VERIFIED
+    * fallback: `dictionary` and `dictBuckets` come from two separate table
+    * reads, so a full refresh that RE-PROVISIONS the bucket count between
+    * them would make the pruned probe address the pinned snapshot with the
+    * wrong bucket assignment — terms the probe misses are therefore
+    * re-probed through the tlen band alone (the pre-bucket plan), so a
+    * mispruned term is never silently dropped from scoring. Cost: terms
+    * genuinely absent from the corpus pay one banded probe per lookup —
+    * exactly the cost every lookup paid before bucket pruning existed
+    * (and LocalSearcher's dfs cache remembers absence across queries). */
   def lookup(fields: Seq[String], terms: Seq[String]): Map[(String, String), Long] = {
     if (terms.isEmpty) return Map.empty
     val hd = hotDict
     if (hd != null)
-      (for (f <- fields; t <- terms; d <- hd.get((f, t))) yield (f, t) -> d).toMap
-    else
-      lookupDf(fields, terms).collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      return (for (f <- fields; t <- terms; d <- hd.get((f, t))) yield (f, t) -> d).toMap
+    def run(df: DataFrame): Map[(String, String), Long] = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val probed = run(lookupDf(fields, terms))
+    val missing = terms.filter(t => !fields.exists(f => probed.contains((f, t))))
+    if (dictBuckets.isEmpty || missing.isEmpty) probed
+    else probed ++ run(bandedLookupDf(fields, missing))
+  }
+
+  /** tlen-band-pruned dictionary probe (level 1 only). */
+  private def bandedLookupDf(fields: Seq[String], terms: Seq[String]): DataFrame = {
+    val lens: Seq[Any] = terms.map(_.length).distinct
+    dictionary
+      .filter(col("tlen").isin(lens: _*)) // partition pruning, level 1
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .select("field", "term", "df")
   }
 
   /** The cold-path dictionary probe behind [[lookup]], exposed for plan
-    * inspection (PlanSpec asserts both partition-pruning levels). */
+    * inspection (PlanSpec asserts both partition-pruning levels). Pruning
+    * is EXACT-PAIR: each term contributes its own (tlen, termBucket) pair
+    * (grouped per tlen), never the |lens| × |buckets| cross product — the
+    * probe reads at most |terms| directories of a 10^9-term dictionary. */
   private[graft] def lookupDf(fields: Seq[String], terms: Seq[String]): DataFrame = {
-    val lens: Seq[Any] = terms.map(_.length).distinct
-    val banded = dictionary
-      .filter(col("tlen").isin(lens: _*)) // partition pruning, level 1
-    // level 2 on the bucketed layout: the exact buckets the query terms
-    // hash into, computed driver-side (no job) — the probe reads O(query
-    // terms) partitions out of a 10^9-term dictionary
-    val pruned = dictBuckets match {
+    val base = dictBuckets match {
       case Some(b) =>
-        val buckets: Seq[Any] =
-          terms.map(graft.index.IndexBuilder.termBucketOf(_, b)).distinct
-        banded.filter(col("termBucket").isin(buckets: _*))
-      case None => banded
+        val pairs = terms
+          .map(t => (t.length, graft.index.IndexBuilder.termBucketOf(t, b)))
+          .distinct
+        val prune = pairs.groupBy(_._1).map { case (tl, ps) =>
+          col("tlen") === tl && col("termBucket").isin(ps.map(_._2).distinct: _*)
+        }.reduce(_ || _)
+        dictionary.filter(prune)
+      case None =>
+        val lens: Seq[Any] = terms.map(_.length).distinct
+        dictionary.filter(col("tlen").isin(lens: _*))
     }
-    pruned
+    base
       .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
       .select("field", "term", "df")
   }

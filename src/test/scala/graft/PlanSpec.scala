@@ -16,8 +16,12 @@ class PlanSpec extends AnyFunSuite {
   lazy val index: SearchIndex = {
     val dir = "/tmp/graft-test/plan-index"
     val corpus = CorpusGen.generateDF(spark, 400L, seed = 31L, partitions = 3)
+    // small bucket target: the dictionary provisions MANY termBuckets at
+    // test vocabulary, so the two-level pruning assertions below are real
+    // (a single-bucket layout would satisfy them vacuously)
     IndexBuilder.build(spark, corpus, dir,
-      IndexBuilder.Params(blockSize = 64, docGroupSize = 128L))
+      IndexBuilder.Params(blockSize = 64, docGroupSize = 128L,
+        dictTargetBucketRows = 16L))
     new SearchIndex(spark, dir)
   }
 
@@ -139,6 +143,25 @@ class PlanSpec extends AnyFunSuite {
     val partFilters = plan.linesIterator
       .filter(_.contains("PartitionFilters")).mkString("\n")
     assert(partFilters.contains("tlen"), s"lookup probe unpruned:\n${plan.take(2000)}")
+  }
+
+  test("lookup survives a bucket-count/snapshot mismatch: mispruned terms " +
+      "re-probe through the tlen band, never silently dropped") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val terms = Seq("python", "tutorial", "machine", "learning")
+    val nb = index.dictBuckets.get
+    assert(nb >= 4, s"fixture must be multi-bucket (nb=$nb)")
+    val truth = index.lookup(Seq("content"), terms)
+    assert(truth.nonEmpty)
+    // a SECOND SearchIndex over the same dir, with its meta forged to a
+    // DIFFERENT bucket count — the exact skew a full refresh re-provisioning
+    // between the two snapshot reads would produce: the pruned probe
+    // addresses wrong partitions for ~half the terms
+    val forged = new SearchIndex(spark, index.dir) {
+      override lazy val dictBuckets: Option[Int] = Some(nb + 1)
+    }
+    assert(forged.lookup(Seq("content"), terms) == truth,
+      "bucket-count skew silently dropped terms from the lookup")
   }
 
   test("exact-term lookup prunes BOTH partition levels (tlen + termBucket) " +
