@@ -1,0 +1,150 @@
+package graft.bench
+
+import graft.core.CorpusGen
+import graft.index.IndexBuilder
+import graft.query.{QueryEngine, SearchIndex}
+import graft.query.QueryEngine.SearchOpts
+import org.apache.spark.sql.SparkSession
+
+/** Round-6 optimization probes (guide §1: measure first, isolate with the
+  * noop sink). NOT part of the frozen driver contract (graft.Bench is the
+  * contract surface); this main exists so before/after phase timings can be
+  * re-run cheaply and cited in OPTIMIZATION_r06.md.
+  *
+  * Modes (first arg):
+  *   phases [nDocs]  — time the build's constituent passes + a full build,
+  *                     a resume micro-batch, and refreshDerived, with noop
+  *                     sinks for the pure-compute passes.
+  *   serving [nDocs] — serving-tier p50/p95 and sharded scatter latency at
+  *                     1/4/16 shards.
+  */
+object BenchExtra {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-benchextra-c$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def timed[T](spark: SparkSession, label: String)(f: => T): (T, Double) = {
+    spark.sparkContext.setJobDescription(label)
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setJobDescription(null)
+    println(f"PHASE $label%-42s $sec%8.3f s")
+    (r, sec)
+  }
+
+  private def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("phases")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val seed = 42L
+    val spark = session(cpus)
+    import org.apache.spark.sql.functions._
+    try {
+      mode match {
+        case "phases" =>
+          val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+            fields = Seq("content"))
+          val dir = "/tmp/graft-benchextra/index"
+          // warm-up (JIT) mirrors Bench.runAt
+          IndexBuilder.deleteDir(spark, "/tmp/graft-benchextra")
+          IndexBuilder.build(spark,
+            CorpusGen.generateDF(spark, 2000L, seed + 1, partitions = cpus),
+            s"/tmp/graft-benchextra/warm", params)
+          val corpus = CorpusGen.generateDF(spark, nDocs, seed, partitions = cpus * 4)
+
+          timed(spark, "corpus-generate (noop)") {
+            noop(corpus)
+          }
+          timed(spark, "generate+tokenize+sha (noop)") {
+            noop(corpus
+              .withColumn("sha256_computed", sha2(col("content"), 256))
+              .withColumn("tokens", graft.core.Analyzer.tokensCol(col("content")))
+              .withColumn("dl_content", size(col("tokens")))
+              .drop("content"))
+          }
+          (1 to 2).foreach { i =>
+            timed(spark, s"full build run$i") {
+              IndexBuilder.build(spark, corpus, dir, params)
+            }
+          }
+          timed(spark, "refreshDerived (full)") {
+            IndexBuilder.refreshDerived(spark, dir)
+          }
+          val extra = CorpusGen.generateDF(spark, nDocs + 2000L, seed,
+            partitions = cpus * 4).filter(col("docId") >= nDocs)
+          timed(spark, "resume micro-batch 2000 docs (incremental)") {
+            IndexBuilder.resume(spark, extra, dir,
+              params.copy(inputSnapshot = "extra-probe"))
+          }
+          // hot-query p50 over the 12 reference queries (same protocol as
+          // Bench's query phase, AQE off + 8 shuffle partitions)
+          val idx = new SearchIndex(spark, dir).warm()
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val opts = SearchOpts(k = 10, overfetch = 3, diversity = true, wand = true)
+          QueryEngine.search(idx, graft.Bench.ReferenceQueries.head, opts).collect()
+          val lats = graft.Bench.ReferenceQueries.map { q =>
+            val t0 = System.nanoTime()
+            QueryEngine.search(idx, q, opts).collect()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"PHASE query-p50 ${lats(lats.size / 2)}%8.4f s  p95 ${lats(math.min(lats.size - 1, (lats.size * 0.95).toInt))}%8.4f s")
+
+        case "serving" =>
+          val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+            fields = Seq("content"))
+          val dir = "/tmp/graft-benchextra/serve-index"
+          IndexBuilder.deleteDir(spark, dir)
+          val n = if (args.length > 1) nDocs else 200000L
+          IndexBuilder.build(spark,
+            CorpusGen.generateDF(spark, n, seed, partitions = cpus * 4), dir, params)
+          val idx = new SearchIndex(spark, dir)
+          val opts = SearchOpts(k = 10, overfetch = 3, diversity = true, wand = true)
+          def pct(xs: Seq[Double], p: Double): Double = {
+            val s = xs.sorted
+            s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+          }
+          val li = graft.query.LocalSearcher.load(idx)
+          graft.Bench.ReferenceQueries.foreach(q =>
+            graft.query.LocalSearcher.search(li, q, opts))
+          val ts = (1 to 5).flatMap(_ => graft.Bench.ReferenceQueries.map { q =>
+            val t0 = System.nanoTime()
+            graft.query.LocalSearcher.search(li, q, opts)
+            (System.nanoTime() - t0) / 1e6
+          })
+          println(f"PHASE serving unsharded p50 ${pct(ts, 0.5)}%8.3f ms  p95 ${pct(ts, 0.95)}%8.3f ms")
+          Seq(4, 16).foreach { nsh =>
+            val sh = graft.query.LocalSearcher.loadSharded(idx, nsh)
+            graft.Bench.ReferenceQueries.foreach { q =>
+              val a = graft.query.LocalSearcher.searchSharded(sh, q, opts)
+              val b = graft.query.LocalSearcher.search(li, q, opts)
+              require(a == b, s"sharded serving diverged on '$q' at $nsh shards")
+            }
+            val tsh = (1 to 5).flatMap(_ => graft.Bench.ReferenceQueries.map { q =>
+              val t0 = System.nanoTime()
+              graft.query.LocalSearcher.searchSharded(sh, q, opts)
+              (System.nanoTime() - t0) / 1e6
+            })
+            println(f"PHASE serving sharded($nsh) p50 ${pct(tsh, 0.5)}%8.3f ms  p95 ${pct(tsh, 0.95)}%8.3f ms")
+          }
+
+        case other =>
+          System.err.println(s"unknown mode: $other")
+      }
+    } finally spark.stop()
+  }
+}

@@ -40,6 +40,11 @@ object Codec {
       } while ((b & 0x80) != 0)
       result
     }
+    /** Advance past one varint without assembling its value. */
+    def skipVarint(): Unit = {
+      while ((bytes(pos) & 0x80) != 0) pos += 1
+      pos += 1
+    }
   }
 
   /** Encode a docId-sorted run of postings into one block payload.
@@ -90,6 +95,62 @@ object Codec {
       i += 1
     }
     result
+  }
+
+  /** Columnar image of one decoded block — the WAND/serving hot-path shape:
+    * a handful of primitive arrays per BLOCK instead of one Posting object
+    * plus one positions array per POSTING ([[decodeBlock]] stays the
+    * row-shaped reference decode for the exhaustive baseline, the oracle
+    * and the property tests). Positions are decoded only when the caller
+    * needs them (phrase scoring); their varints are byte-skipped otherwise.
+    * Values are identical to [[decodeBlock]] (CodecSpec differential). */
+  final class DecodedBlock(val n: Int, val docIds: Array[Long],
+      val tfs: Array[Int], val dls: Array[Int],
+      val posOffsets: Array[Int], val positions: Array[Int]) {
+    /** Positions of posting `i` — valid only when decoded with positions. */
+    def positionsOf(i: Int): Array[Int] =
+      java.util.Arrays.copyOfRange(positions, posOffsets(i), posOffsets(i + 1))
+  }
+
+  def decodeBlockColumnar(firstDocId: Long, bytes: Array[Byte],
+      needPositions: Boolean): DecodedBlock = {
+    val in = new Reader(bytes)
+    val n = in.readVarint().toInt
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val dls = new Array[Int](n)
+    val posOffsets = if (needPositions) new Array[Int](n + 1) else null
+    var positions = if (needPositions) new Array[Int](math.max(4, n * 2)) else null
+    var posN = 0
+    var prev = firstDocId
+    var i = 0
+    while (i < n) {
+      prev += in.readVarint()
+      docIds(i) = prev
+      tfs(i) = in.readVarint().toInt
+      dls(i) = in.readVarint().toInt
+      val nPos = in.readVarint().toInt
+      if (needPositions) {
+        posOffsets(i) = posN
+        if (posN + nPos > positions.length)
+          positions = java.util.Arrays.copyOf(positions,
+            math.max(positions.length * 2, posN + nPos))
+        var j = 0
+        var prevPos = 0L
+        while (j < nPos) {
+          prevPos += in.readVarint()
+          positions(posN) = prevPos.toInt
+          posN += 1
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < nPos) { in.skipVarint(); j += 1 }
+      }
+      i += 1
+    }
+    if (needPositions) posOffsets(n) = posN
+    new DecodedBlock(n, docIds, tfs, dls, posOffsets, positions)
   }
 
   /** Uncompressed size estimate (8B docId + 4B tf + 4B dl + 4B/position),

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * index open (never per query) and the serving tier can hold its shard's
   * slice resident. */
 final class DeleteSet private[index] (
-    private val groups: Map[Long, Array[Long]]) extends Serializable {
+    private val groups: Map[Long, Array[Long]],
+    /** True when the live tombstone count exceeded the caller's broadcast
+      * budget and the membership view was NOT materialized (groups empty):
+      * consumers must route deletes through the declarative anti-join path
+      * instead of `contains` (QueryEngine.candidates does). */
+    val overBudget: Boolean = false) extends Serializable {
   def isEmpty: Boolean = groups.isEmpty
   def nonEmpty: Boolean = groups.nonEmpty
   /** Total tombstones in this view. */
@@ -23,6 +28,8 @@ final class DeleteSet private[index] (
 
 object DeleteSet {
   val empty: DeleteSet = new DeleteSet(Map.empty)
+  private[index] val overBudgetMarker: DeleteSet =
+    new DeleteSet(Map.empty, overBudget = true)
 }
 
 /** Row-level deletes — the Lucene live-docs model (public knowledge; cf.
@@ -201,10 +208,19 @@ object Deletes {
   /** Load the membership view — whole table, or one serving shard's slice
     * (`docGroup % n == i`, partition-pruned on the docGroup key so a shard
     * reads only its groups' tombstones). Runs crash recovery first (same
-    * one-fs.exists posture as the compaction/expiry sweeps at index open). */
+    * one-fs.exists posture as the compaction/expiry sweeps at index open).
+    *
+    * `maxEntries` (VERDICT r5 item #6) bounds what this call will pull to
+    * the driver: above it, the view is NOT materialized and the returned
+    * set carries [[DeleteSet.overBudget]] so callers take a declarative
+    * anti-join path instead. Default unbounded — existing call sites whose
+    * correctness REQUIRES every tombstone (compaction's physical purge,
+    * the serving shard slice whose residency is bounded by shard sizing)
+    * keep the old behavior; SearchIndex opts into its broadcast budget. */
   def loadSet(spark: SparkSession, indexDir: String,
       shard: Option[(Int, Int)] = None,
-      io: TableIO = ParquetTableIO): DeleteSet = {
+      io: TableIO = ParquetTableIO,
+      maxEntries: Long = Long.MaxValue): DeleteSet = {
     recover(spark, indexDir, io)
     df(spark, indexDir, io) match {
       case None => DeleteSet.empty
@@ -213,6 +229,8 @@ object Deletes {
           case Some((i, n)) => t.filter(pmod(col("docGroup"), lit(n.toLong)) === i.toLong)
           case None => t
         }
+        if (maxEntries != Long.MaxValue && filtered.count() > maxEntries)
+          return DeleteSet.overBudgetMarker
         val grouped = filtered
           .groupBy(col("docGroup"))
           .agg(sort_array(collect_list(col("docId"))).as("ids"))

@@ -414,34 +414,55 @@ object IndexBuilder {
       .withColumn("qualityScore", params.qualityScoreCol())
       .withColumn("repoScore", params.repoScoreCol())
 
+    // NOTE (measured, guide §1): persisting the tokenized batch here was
+    // tried and REVERTED — at c32 the whole generate+sha+tokenize pass is
+    // <1 s while materializing the token arrays through the columnar cache
+    // cost ~2-3 s, so recomputing per consumer is the cheaper plan.
+    val metaCols = Seq("docId", "repo", "path", "lang") ++
+      params.fields.map(f => s"dl_$f") ++
+      Seq("sha256_computed", "shaOk", "qualityScore", "repoScore", "docGroup")
+
     // fail fast on docId collisions BEFORE any write: a duplicated id would
     // interleave two documents' position streams inside one posting and
     // surface as an opaque codec failure deep inside a task. BATCH-scoped
-    // (cost proportional to the batch, column-pruned to docId): dense-id
-    // appends cannot collide with committed rows by construction
+    // (cost proportional to the batch, column-pruned to docId/docGroup):
+    // dense-id appends cannot collide with committed rows by construction
     // (pendingRows keeps only docId > committed max per group), and the
     // full-table audit in refreshDerived remains the backstop for the
-    // documented-unsupported hash-id append edge.
-    locally {
+    // documented-unsupported hash-id append edge. The distinct docGroup
+    // count sizes the postings shuffle below.
+    val nGroupsBatch = locally {
       val d = docsDf
-        .agg(count(lit(1)).as("n"), countDistinct($"docId").as("nd"))
+        .agg(count(lit(1)).as("n"), countDistinct($"docId").as("nd"),
+          countDistinct($"docGroup").as("ng"))
         .collect()(0)
       if (d.getLong(0) != d.getLong(1))
         throw new IllegalStateException(
           s"docId collision: ${d.getLong(0)} doc rows but ${d.getLong(1)} " +
             "distinct docIds in this batch — supply dense ingest-assigned " +
             "docIds (hash-derived ids collide at scale)")
+      d.getLong(2)
     }
 
-    val metaCols = Seq("docId", "repo", "path", "lang") ++
-      params.fields.map(f => s"dl_$f") ++
-      Seq("sha256_computed", "shaOk", "qualityScore", "repoScore", "docGroup")
-    io.overwritePartitions(
-      docsDf.select(metaCols.map(col): _*)
-        .withColumnRenamed("sha256_computed", "sha256")
-        .withColumn("segment", lit(segment))
-        .repartition(col("docGroup")).sortWithinPartitions("docId"),
-      layout.docs, Seq("docGroup", "segment"))
+    // the docs write and the postings build are independent consumers of
+    // the persisted batch — overlap them so the postings stage's tail
+    // back-fills the cores the docs write frees (guide §2.6). Sequential
+    // under a snapshot TableIO, whose manifest commits are simplest kept
+    // single-writer-per-call.
+    val docsOut = docsDf.select(metaCols.map(col): _*)
+      .withColumnRenamed("sha256_computed", "sha256")
+      .withColumn("segment", lit(segment))
+      .repartition(col("docGroup")).sortWithinPartitions("docId")
+    def writeDocs(): Unit =
+      io.overwritePartitions(docsOut, layout.docs, Seq("docGroup", "segment"))
+    val docsFut: Option[java.util.concurrent.Future[_]] =
+      if (io eq ParquetTableIO) {
+        val t = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try Some(t.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = writeDocs()
+        }))
+        finally t.shutdown()
+      } else { writeDocs(); None }
 
     // ---- postings ----
     // ONE shuffle of PACKED (doc, term) rows, not raw token occurrences: a
@@ -450,12 +471,7 @@ object IndexBuilder {
     // row per (field, term, doc) with an int-array payload — Σ
     // distinct-terms-per-doc rows instead of Σ tf occurrence rows (the
     // dominant shuffle volume at 100 TB; ~avg-tf× fewer, smaller-keyed
-    // rows for the external sort too). Hash-partitioned by (field, term,
-    // docGroup) — bounded by docGroupSize regardless of term df — then the
-    // in-partition sort and a streaming single-pass block builder over the
-    // executor-side re-expanded occurrences (O(blockSize) memory; emitted
-    // blocks are bitwise-unchanged — CompactionSpec fresh-build equality +
-    // every BM25 gate).
+    // rows for the external sort too).
     def tokenPostingsCol(c: Column): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
       ColumnBridge.column(graft.functions.TokenPostings(
@@ -468,9 +484,26 @@ object IndexBuilder {
           $"docId", $"dl", $"tp.positions".as("positions"))
     }.reduce(_ unionByName _)
 
+    // ONE exchange end-to-end (was two: a (field, term, docGroup) exchange
+    // for block building plus a second full shuffle of the finished
+    // compressed blocks to lay files out one-per-docGroup — guide §2.4).
+    // The build shuffle is keyed by (docGroup, termSlice): every row of one
+    // (field, term, docGroup) shares a key, so the in-partition sort still
+    // hands the block builder complete, ordered runs (block content is
+    // bit-identical), and the finished blocks are already grouped by
+    // docGroup, so the write needs no second shuffle of the block bytes.
+    // termSlice = pmod(xxhash64(field, term), slices) splits a group across
+    // at most `slices` tasks — >1 only when the batch has fewer groups than
+    // shuffle partitions (local/small batches, where balance matters more
+    // than file count); at scale groups >> partitions, slices = 1, and the
+    // layout is exactly one file per (docGroup, segment) as before. Skew
+    // stays bounded by docGroupSize × per-doc terms per key either way.
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val slices = math.min(8L, math.max(1L,
+      (4L * shufflePartitions + nGroupsBatch - 1) / math.max(1L, nGroupsBatch)))
     val blockSize = params.blockSize
     val blocks: Dataset[BlockRow] = perDocTerm
-      .repartition($"field", $"term", $"docGroup")
+      .repartition($"docGroup", pmod(xxhash64($"field", $"term"), lit(slices)))
       .sortWithinPartitions($"field", $"term", $"docGroup", $"docId")
       .as[(String, String, Long, Long, Int, Array[Int])]
       .mapPartitions { it =>
@@ -481,11 +514,9 @@ object IndexBuilder {
       }
 
     io.overwritePartitions(
-      blocks.toDF()
-        .withColumn("segment", lit(segment))
-        .repartition(col("docGroup"))
-        .sortWithinPartitions("field", "term", "firstDocId", "blockIdx"),
+      blocks.toDF().withColumn("segment", lit(segment)),
       layout.postings, Seq("docGroup", "segment"))
+    docsFut.foreach(_.get()) // surface docs-write failures before commit
 
     // ---- dictionary/stats/metrics: dense-id resumes merge the previous
     // derived state with THIS segment's aggregates (cost proportional to
@@ -575,13 +606,16 @@ object IndexBuilder {
     val fields = allDocs.columns.filter(_.startsWith("dl_"))
       .map(_.stripPrefix("dl_")).toSeq.sorted
 
-    // one job: N, per-field Σdl, sha violations, docId collision audit.
+    // one job: N, per-field Σdl, sha violations, docId collision audit,
+    // and the distinct segment list for the derived-segments manifest (one
+    // docs scan total — the manifest used to pay its own full scan).
     // Σdl is kept as a LONG (stats.sumDl) so the incremental refresh can
     // merge it exactly; avgdl = sumDl.toDouble / n in BOTH paths — the
     // identical double op is what makes incremental == full BITWISE.
     val docAggCols = count(lit(1)).as("n") +:
       countDistinct($"docId").as("nDistinct") +:
       sum(when(!$"shaOk", 1L).otherwise(0L)).as("shaViol") +:
+      collect_set($"segment".cast("string")).as("segs") +:
       fields.map(f => sum(col(s"dl_$f").cast("long")).as(s"sumdl_$f"))
     val docAgg = allDocs.agg(docAggCols.head, docAggCols.tail: _*).collect()(0)
     val nDocs = docAgg.getAs[Long]("n")
@@ -614,10 +648,16 @@ object IndexBuilder {
     val target =
       if (dictTargetBucketRows != DefaultDictTargetBucketRows) dictTargetBucketRows
       else dictMeta(spark, dir, io).map(_._2).getOrElse(DefaultDictTargetBucketRows)
+    // ONE postings scan serves dictionary AND metrics (the metrics columns
+    // — per-term group fan-in, compressed/raw bytes — used to be a second
+    // full (field, term) aggregation over the same block metadata; they now
+    // ride this aggregate and metrics rolls up from the persisted result)
     val dictAgg = allBlocks.groupBy($"field", $"term")
       .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
         count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
-        min($"minDl").as("minDl"))
+        min($"minDl").as("minDl"),
+        countDistinct($"docGroup").as("g"), sum(length($"bytes")).as("bc"),
+        sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // provision at PHYSICAL-PARTITION grain: rows land in (tlen, termBucket)
     // PAIRS, so a global-vocab/target bucket count would leave every pair
@@ -635,11 +675,11 @@ object IndexBuilder {
     io.drop(spark, layout.dictionaryMeta)
     io.overwriteTable(
       dictAgg
+        .select($"field", $"term", $"df", $"totalTf", $"nBlocks", $"maxTf", $"minDl")
         .withColumn("tlen", length($"term"))
         .withColumn("termBucket", termBucketCol(nBuckets))
         .repartition($"tlen", $"termBucket").sortWithinPartitions("field", "term"),
       layout.dictionary, Seq("tlen", "termBucket"))
-    dictAgg.unpersist()
     io.overwritePartitions(
       Seq((nBuckets, target)).toDF("nBuckets", "targetRows").coalesce(1),
       layout.dictionaryMeta, Nil)
@@ -653,23 +693,23 @@ object IndexBuilder {
       layout.stats, Nil)
 
     // manifest: the derived tables now reflect exactly the segments present
-    // (the incremental path consults this to detect snapshot-id reuse)
+    // (the incremental path consults this to detect snapshot-id reuse) —
+    // the segment list rode the docAgg scan above
     io.overwriteTable(
-      allDocs.select($"segment".cast("string").as("inputSnapshot")).distinct()
+      docAgg.getSeq[String](docAgg.fieldIndex("segs")).distinct.sorted
+        .toDF("inputSnapshot")
         .withColumn("bakedAt", current_timestamp()),
       layout.derivedSegments, Seq("inputSnapshot"))
 
-    // metrics (one job over the dictionary-grain aggregate; raw-size
-    // estimate derived exactly from block metadata: every occurrence is one
-    // position, so raw = 16B/posting + 4B/occurrence = 16*n + 4*sumTf)
-    val perField = allBlocks.groupBy($"field", $"term")
-      .agg(countDistinct($"docGroup").as("g"), sum($"n").as("p"),
-        count(lit(1)).as("bl"), sum(length($"bytes")).as("bc"),
-        sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw"))
+    // metrics: roll up from the persisted dictionary-grain aggregate (raw-
+    // size estimate derived exactly from block metadata: every occurrence
+    // is one position, so raw = 16B/posting + 4B/occurrence = 16*n+4*sumTf)
+    val perField = dictAgg
       .groupBy($"field").agg(max($"g").as("maxFan"), avg($"g").as("avgFan"),
-        sum($"p").as("postings"), sum($"bl").as("blocks"), sum($"bc").as("bytes"),
+        sum($"df").as("postings"), sum($"nBlocks").as("blocks"), sum($"bc").as("bytes"),
         sum($"raw").as("raw"))
       .collect().map(r => r.getString(0) -> r).toMap
+    dictAgg.unpersist()
     val rows = fields.map { f =>
       val r = perField.get(f)
       (f, nDocs,
@@ -769,12 +809,21 @@ object IndexBuilder {
     // ---- dictionary: touched buckets only — (old ⊎ segment) per bucket,
     // committed via dynamic partition overwrite (no staged swap, no rename:
     // untouched partitions are never read OR rewritten) ----
+    // persisted: the aggregate feeds two actions (the touched-pair collect
+    // and the merge-join write) — without the persist the segment scan +
+    // aggregation runs twice per micro-batch
     val segDict = segBlocks.groupBy($"field", $"term")
       .agg(sum($"n").as("df2"), sum($"sumTf").as("totalTf2"),
         count(lit(1)).as("nBlocks2"), max($"maxTf").as("maxTf2"),
-        min($"minDl").as("minDl2"))
+        min($"minDl").as("minDl2"),
+        // metrics contributions ride the same scan (bc2/raw2 roll up below
+        // instead of a second segment aggregation)
+        sum(length($"bytes")).as("bc2"),
+        sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw2"))
       .withColumn("tlen", length($"term"))
       .withColumn("termBucket", termBucketCol(nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segMet = try {
     // the touched (tlen, termBucket) pairs: bounded by BOTH the batch's
     // distinct-term count and (max term length × nBuckets) — a driver list
     // by construction, same shape as KeyMap's touched-bucket collect
@@ -783,10 +832,16 @@ object IndexBuilder {
     if (touched.isEmpty) {
       // a zero-posting segment contributes nothing to the dictionary
     } else {
-      // exact partition-pruning predicate, grouped by tlen (≤ max term
-      // length OR-arms, each an isin over that tlen's touched buckets)
+      // partition-pruning predicate, grouped by tlen (≤ max term length
+      // OR-arms). Predicate hygiene (VERDICT r5 item #7): a band where the
+      // batch touches most buckets would mint a near-nBuckets-arm isin —
+      // reading the WHOLE band instead costs at most ~2× the touched
+      // volume (untouched rows merge unchanged and are rewritten
+      // byte-identical) and keeps the plan O(bands), never O(batch vocab).
       val prune = touched.groupBy(_._1).map { case (tl, bs) =>
-        col("tlen") === tl && col("termBucket").isin(bs.map(_._2).distinct: _*)
+        val buckets = bs.map(_._2).distinct.toIndexedSeq
+        if (buckets.size * 2L >= nBuckets) col("tlen") === tl
+        else col("tlen") === tl && col("termBucket").isin(buckets: _*)
       }.reduce(_ || _)
       val oldDict = io.read(spark, layout.dictionary).filter(prune)
         .select($"field", $"term", $"df", $"totalTf", $"nBlocks", $"maxTf", $"minDl")
@@ -803,6 +858,14 @@ object IndexBuilder {
         .repartition($"tlen", $"termBucket").sortWithinPartitions("field", "term")
       io.overwritePartitions(merged, layout.dictionary, Seq("tlen", "termBucket"))
     }
+
+    // segment metrics contributions, rolled up from the SAME persisted
+    // aggregate (was a third scan of the segment's block metadata)
+    segDict.groupBy($"field")
+      .agg(sum($"df2").as("p"), sum($"nBlocks2").as("bl"),
+        sum($"bc2").as("bc"), sum($"raw2").as("raw"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    } finally segDict.unpersist(false)
 
     // ---- stats: tiny (one row per field) — merge on the driver ----
     val segAggCols = count(lit(1)).as("n") +:
@@ -827,11 +890,6 @@ object IndexBuilder {
     // ---- metrics: combinable columns merged, fan-in carried ----
     val oldMet = io.read(spark, layout.metrics).collect()
       .map(r => r.getString(0) -> r).toMap
-    val segMet = segBlocks.groupBy($"field")
-      .agg(sum($"n").as("p"), count(lit(1)).as("bl"),
-        sum(length($"bytes")).as("bc"),
-        sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw"))
-      .collect().map(r => r.getString(0) -> r).toMap
     val nDocsTotal = statRows.headOption.map(_._2).getOrElse(0L)
     val metRows = fields.map { f =>
       val o = oldMet.get(f)

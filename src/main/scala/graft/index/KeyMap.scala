@@ -144,7 +144,11 @@ object KeyMap {
   def applyBatch(spark: SparkSession, dir: String, adds: DataFrame,
       tombIds: DataFrame, keyCols: Seq[String], nBuckets: Int,
       io: TableIO = ParquetTableIO,
-      targetKeys: Long = TargetBucketKeys): Unit = {
+      targetKeys: Long = TargetBucketKeys,
+      // a caller that PINNED the bucket count (Params.keymapBuckets > 0)
+      // opts out of the organic-growth auto-rebuild — the pin wins
+      // (ADVICE r5; Upsert passes it through)
+      pinnedBuckets: Boolean = false): Unit = {
     invalidate(spark, dir) // defensive: never mutate under a live marker
     val addRows = adds.select((keyCols.map(col) :+ col("docId") :+
       col("sha256")): _*).withColumn("keyBucket", bucketOf(keyCols, nBuckets))
@@ -186,9 +190,11 @@ object KeyMap {
       if (!staged.isEmpty)
         io.overwritePartitions(staged, table(dir), Seq("keyBucket"))
       io.drop(spark, stage)
-      if (maxBucketRows > SplitFactor * targetKeys) {
+      if (maxBucketRows > SplitFactor * targetKeys && !pinnedBuckets) {
         // the layout no longer bounds the probe: re-derive with an
-        // auto-provisioned bucket count (writes the marker itself)
+        // auto-provisioned bucket count (writes the marker itself).
+        // Skipped when the caller pinned the count — a pinned layout is
+        // never silently re-provisioned (ADVICE r5).
         rebuild(spark, dir, keyCols, 0, io, targetKeys)
         return
       }
@@ -212,10 +218,15 @@ object KeyMap {
     // lineage-committed segments only (ADVICE r4): a crashed batch's orphan
     // docs rows must not enter the live-key view, or the next upsert's
     // keymap probe inherits exactly the skip-the-readd hazard the classify
-    // fix closes (see Upsert.committedSegments)
-    val live0 = io.read(spark, layout.docs)
-      .withColumn("segment", col("segment").cast("string"))
-      .join(Upsert.committedSegments(spark, dir, io), Seq("segment"), "left_semi")
+    // fix closes (see Upsert.committedSegments). A MISSING lineage table
+    // (crash in the first build before its lineage write — ADVICE r5) means
+    // zero committed segments: rebuild to an empty keymap instead of
+    // throwing on the read.
+    val docsAll = io.read(spark, layout.docs)
+    val live0 = (if (io.exists(spark, layout.lineage))
+        docsAll.withColumn("segment", col("segment").cast("string"))
+          .join(Upsert.committedSegments(spark, dir, io), Seq("segment"), "left_semi")
+      else docsAll.limit(0))
       .select((keyCols.map(col) :+ col("docId") :+ col("sha256")): _*)
     val live0d = Deletes.df(spark, dir, io) match {
       case Some(t) => live0.join(t.select("docId"), Seq("docId"), "left_anti")

@@ -154,6 +154,14 @@ object Upsert {
     val stageP = new org.apache.hadoop.fs.Path(s"$dir/_stage_upsert")
     val stageFs = stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     stageFs.delete(stageP, true) // crashed-run residue
+    // the stage dir is ALSO removed on failure (try/finally, ADVICE r5):
+    // classification is re-derived on retry, so a failed batch must not
+    // leave O(batch) parquet residue that only the next upsert would sweep
+    try {
+    // tombs0 and adds are both plans over `incoming` (sha + dedupe window
+    // over the input) — persist it so the two stage writes and the final
+    // unchanged-count evaluate that chain once
+    incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tombs0.write.parquet(s"$stageP/tombs")
     val tombs = spark.read.parquet(s"$stageP/tombs")
     // the adds side stages PRE-id: this is the single evaluation of the
@@ -225,12 +233,17 @@ object Upsert {
             col("sha256")): _*)
       viaKeymap match {
         case Some(nb) => KeyMap.applyBatch(spark, dir, addRows, tombs, keyCols,
-          nb, io, params.keymapTargetKeys)
+          nb, io, params.keymapTargetKeys,
+          pinnedBuckets = params.keymapBuckets > 0)
         case None => KeyMap.rebuild(spark, dir, keyCols, params.keymapBuckets,
           io, params.keymapTargetKeys)
       }
     }
-    stageFs.delete(stageP, true)
     Result(added, afterTotal - before, incoming.count() - nAdds)
+    } finally {
+      incoming.unpersist(false)
+      stageFs.delete(stageP, true)
+      ()
+    }
   }
 }

@@ -147,10 +147,14 @@ object WriterLock {
           s"acquired ${info.get._3}); concurrent writers would race the " +
           "staged-swap protocols — wait, or WriterLock.forceUnlock if the " +
           "holder is known dead")
-      // break only the EXACT lease we judged stale (ADVICE r4): a holder's
+      // try to break only the lease we judged stale (ADVICE r4): a holder's
       // heartbeat may have renewed it between our read and this rename —
       // re-read and compare; any change means the holder is alive, so loop
-      // and re-evaluate the fresh lease instead of breaking it
+      // and re-evaluate the fresh lease instead of breaking it. NOTE: this
+      // NARROWS the check-then-rename window, it does not close it — a
+      // renewal landing between this re-read and the rename still loses its
+      // lease (ADVICE r5); a true close needs compare-and-swap semantics
+      // (e.g. a lease generation in the filename) the local FS lacks.
       if (readLease(fs, p) == info) {
         val broken = new Path(s"${lockPath(dir)}._broken.$ownerUuid")
         if (!fs.rename(p, broken)) {

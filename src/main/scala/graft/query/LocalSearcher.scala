@@ -240,19 +240,56 @@ object LocalSearcher {
       docCacheEntries: Int = Int.MaxValue): LocalIndex =
     new LocalIndex(index, None, blockCacheBytes, docCacheEntries)
 
+  /** Bounded pool for the sharded scatter (VERDICT r5 item #2): shard
+    * probes fan out in parallel so sharded latency is max-of-shards +
+    * merge, not the SUM a sequential flatMap pays (linear in shard count).
+    * Daemon threads; shared across queries — the scatter is short-lived
+    * CPU work, and per-query pool construction would dominate it. */
+  private lazy val scatterPool: _root_.java.util.concurrent.ExecutorService =
+    _root_.java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, Runtime.getRuntime.availableProcessors()),
+      new _root_.java.util.concurrent.ThreadFactory {
+        private val n = new _root_.java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-scatter-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Run `f` over every element in parallel on [[scatterPool]], preserving
+    * input order in the result (so downstream stable merges are unchanged).
+    * Exceptions propagate to the caller. */
+  private def scatter[A, B](xs: IndexedSeq[A])(f: A => B): IndexedSeq[B] =
+    if (xs.lengthCompare(1) <= 0) xs.map(f)
+    else {
+      val futs = xs.map { x =>
+        scatterPool.submit(new _root_.java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        })
+      }
+      try futs.map(_.get())
+      catch {
+        case e: _root_.java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    }
+
   /** The multi-node serving topology in miniature: `n` shards, each
     * holding only its docGroups (loaded partition-pruned). A query fans
-    * out, each shard runs the SAME scoring code over its groups, and the
-    * merge keeps global top-(k·overfetch) by (score desc, docId asc) —
-    * rank- and score-identical to a single resident index (LocalSpec). */
+    * out IN PARALLEL (bounded pool), each shard runs the SAME scoring code
+    * over its groups, and the merge keeps global top-(k·overfetch) by
+    * (score desc, docId asc) — rank- and score-identical to a single
+    * resident index (LocalSpec). */
   final class ShardedIndex(val shards: IndexedSeq[LocalIndex]) {
     /** Page metadata with OWNER ROUTING: each id is fetched only from the
       * shard that scored it (the scatter already knows the owner — a
       * docId's candidate came from exactly one shard), so a page costs at
       * most one pruned probe per OWNING shard, never a broadcast probe of
-      * every shard for every id. */
+      * every shard for every id. Owning shards are probed in parallel. */
     def docMetas(idsByShard: Map[Int, Seq[Long]]): Map[Long, DocMeta] =
-      idsByShard.iterator.flatMap { case (s, ids) => shards(s).docsOf(ids) }.toMap
+      scatter(idsByShard.toIndexedSeq) { case (s, ids) => shards(s).docsOf(ids) }
+        .flatten.toMap
   }
 
   def loadSharded(index: SearchIndex, nShards: Int): ShardedIndex =
@@ -341,10 +378,13 @@ object LocalSearcher {
   def searchSharded(si: ShardedIndex, query: String,
       opts: SearchOpts = SearchOpts()): Seq[Hit] = {
     val m = opts.k * opts.overfetch
-    // candidates tagged with their producing shard — the router's owner map
-    val merged = si.shards.zipWithIndex
-      .flatMap { case (s, i) =>
+    // candidates tagged with their producing shard — the router's owner
+    // map. Shard probes run in parallel (max-of-shards latency); the
+    // result keeps shard order, so the stable merge below is identical to
+    // the sequential scatter's.
+    val merged = scatter(si.shards.zipWithIndex) { case (s, i) =>
         scoredCandidates(s, query, opts).map { case (d, sc) => (d, sc, i) } }
+      .flatten
       .sortBy { case (d, s, _) => (-s, d) }.take(m)
     val owners = merged.groupBy(_._3).view
       .mapValues(_.map(_._1).toSeq).toMap
