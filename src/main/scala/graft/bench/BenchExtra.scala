@@ -142,6 +142,22 @@ object BenchExtra {
             println(f"PHASE serving sharded($nsh) p50 ${pct(tsh, 0.5)}%8.3f ms  p95 ${pct(tsh, 0.95)}%8.3f ms")
           }
 
+        case "buildonly" =>
+          val params = IndexBuilder.Params(blockSize = 128, docGroupSize = 8192L,
+            fields = Seq("content"))
+          val dir = "/tmp/graft-benchextra/bo-index"
+          IndexBuilder.deleteDir(spark, "/tmp/graft-benchextra")
+          IndexBuilder.build(spark,
+            CorpusGen.generateDF(spark, 2000L, seed + 1, partitions = cpus),
+            s"/tmp/graft-benchextra/warm", params)
+          val corpus = CorpusGen.generateDF(spark, nDocs, seed, partitions = cpus * 4)
+          val runs = (1 to 2).map { i =>
+            timed(spark, s"build c$cpus run$i") {
+              IndexBuilder.build(spark, corpus, dir, params)
+            }._2
+          }
+          println(f"PHASE build-best c$cpus ${runs.min}%8.3f s")
+
         case other =>
           System.err.println(s"unknown mode: $other")
       }

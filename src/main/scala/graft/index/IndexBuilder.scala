@@ -484,26 +484,29 @@ object IndexBuilder {
           $"docId", $"dl", $"tp.positions".as("positions"))
     }.reduce(_ unionByName _)
 
-    // ONE exchange end-to-end (was two: a (field, term, docGroup) exchange
-    // for block building plus a second full shuffle of the finished
-    // compressed blocks to lay files out one-per-docGroup — guide §2.4).
-    // The build shuffle is keyed by (docGroup, termSlice): every row of one
-    // (field, term, docGroup) shares a key, so the in-partition sort still
-    // hands the block builder complete, ordered runs (block content is
-    // bit-identical), and the finished blocks are already grouped by
-    // docGroup, so the write needs no second shuffle of the block bytes.
-    // termSlice = pmod(xxhash64(field, term), slices) splits a group across
-    // at most `slices` tasks — >1 only when the batch has fewer groups than
-    // shuffle partitions (local/small batches, where balance matters more
-    // than file count); at scale groups >> partitions, slices = 1, and the
-    // layout is exactly one file per (docGroup, segment) as before. Skew
-    // stays bounded by docGroupSize × per-doc terms per key either way.
+    // Scale-adaptive exchange plan (measured, guide §1.2/§2.4/§2.5):
+    //  - FUSED (one exchange, keyed by docGroup): the block builder's
+    //    in-partition sort still sees complete ordered (field, term,
+    //    docGroup) runs, and the finished blocks are already grouped by
+    //    docGroup, so the write needs NO second shuffle of the compressed
+    //    block bytes — at deployment scale that second shuffle re-moves the
+    //    entire index, the dominant avoidable volume of the build. Chosen
+    //    when the batch has ≥ 32× more docGroups than shuffle partitions,
+    //    where hash assignment of groups to tasks is statistically even.
+    //  - TWO-EXCHANGE (hash by (field, term, docGroup), then a docGroup
+    //    shuffle of the finished blocks for one-file-per-group layout):
+    //    below that ratio a docGroup-keyed build stage is lumpy (few keys,
+    //    many tasks — measured +35% build wall at c8 on the 25-group bench
+    //    corpus), so the even fine-grained key keeps the expensive stage
+    //    balanced and only the cheap block write pays the lumpy exchange.
+    // Block CONTENT is identical either way (runs and their sort order are
+    // partitioning-invariant); only file arrangement differs.
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    val slices = math.min(8L, math.max(1L,
-      (4L * shufflePartitions + nGroupsBatch - 1) / math.max(1L, nGroupsBatch)))
+    val fused = nGroupsBatch >= 32L * shufflePartitions
     val blockSize = params.blockSize
-    val blocks: Dataset[BlockRow] = perDocTerm
-      .repartition($"docGroup", pmod(xxhash64($"field", $"term"), lit(slices)))
+    val blocks: Dataset[BlockRow] =
+      (if (fused) perDocTerm.repartition($"docGroup")
+       else perDocTerm.repartition($"field", $"term", $"docGroup"))
       .sortWithinPartitions($"field", $"term", $"docGroup", $"docId")
       .as[(String, String, Long, Long, Int, Array[Int])]
       .mapPartitions { it =>
@@ -513,8 +516,11 @@ object IndexBuilder {
         new BlockBuildIterator(occurrences, blockSize)
       }
 
+    val blocksOut = blocks.toDF().withColumn("segment", lit(segment))
     io.overwritePartitions(
-      blocks.toDF().withColumn("segment", lit(segment)),
+      if (fused) blocksOut
+      else blocksOut.repartition(col("docGroup"))
+        .sortWithinPartitions("field", "term", "firstDocId", "blockIdx"),
       layout.postings, Seq("docGroup", "segment"))
     docsFut.foreach(_.get()) // surface docs-write failures before commit
 

@@ -39,6 +39,26 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar decode differential: decodeBlockColumnar == decodeBlock, " +
+      "with and without positions (300 random blocks)") {
+    val rnd = new Random(4242)
+    (1 to 300).foreach { _ =>
+      val ps = randomPostings(rnd)
+      if (ps.nonEmpty) {
+        val bytes = Codec.encodeBlock(ps.head.docId, ps)
+        val row = Codec.decodeBlock(ps.head.docId, bytes)
+        val colP = Codec.decodeBlockColumnar(ps.head.docId, bytes, needPositions = true)
+        val colN = Codec.decodeBlockColumnar(ps.head.docId, bytes, needPositions = false)
+        assert(colP.n == row.length && colN.n == row.length)
+        row.zipWithIndex.foreach { case (p, i) =>
+          assert(colP.docIds(i) == p.docId && colP.tfs(i) == p.tf && colP.dls(i) == p.dl)
+          assert(colP.positionsOf(i).sameElements(p.positions))
+          assert(colN.docIds(i) == p.docId && colN.tfs(i) == p.tf && colN.dls(i) == p.dl)
+        }
+      }
+    }
+  }
+
   test("encoder rejects unsorted postings") {
     val bad = Seq(Posting(10, 1, 5, Array()), Posting(9, 1, 5, Array()))
     intercept[IllegalArgumentException](Codec.encodeBlock(10, bad))

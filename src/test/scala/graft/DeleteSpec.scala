@@ -209,6 +209,33 @@ class DeleteSpec extends AnyFunSuite {
     assert(!out.contains(victim.getLong(0)), "wildcard arm served a deleted doc")
   }
 
+  test("tombstone broadcast budget: over-budget opens route deletes through " +
+      "the declarative anti-join path with identical results") {
+    val dir = "/tmp/graft-test/del-budget"
+    buildAt(dir, 400L, seed = 17L)
+    val total = Deletes.deleteWhere(spark, dir, delPred)
+    assert(total > 1, "fixture must delete more than the tiny budget")
+
+    // loadSet honors the budget: over it, the membership view is NOT
+    // materialized and the marker is returned instead
+    val over = Deletes.loadSet(spark, dir, maxEntries = 1L)
+    assert(over.overBudget && over.isEmpty)
+    assert(!Deletes.loadSet(spark, dir).overBudget, "default stays unbounded")
+
+    val bounded = new SearchIndex(spark, dir,
+      maxBroadcastTombstones = 1L)
+    assert(bounded.deletes.overBudget)
+    val reference = new SearchIndex(spark, dir)
+    assert(!reference.deletes.overBudget)
+    for (q <- queries) {
+      val opts = SearchOpts(k = 10, overfetch = 3, diversity = false)
+      val viaJoin = hits(QueryEngine.search(bounded, q, opts))
+      val viaSet = hits(QueryEngine.search(reference, q, opts))
+      assert(viaJoin.forall(_._2 % 7 != 3), s"deleted doc served for '$q'")
+      assert(viaJoin == viaSet, s"anti-join fallback diverged for '$q'")
+    }
+  }
+
   test("staged-swap crash recovery: stage beside live is dropped, stage " +
       "after rename-away is rolled in") {
     val dir = "/tmp/graft-test/del-crash"
