@@ -25,6 +25,32 @@ object Codec {
     out.write(value.toInt)
   }
 
+  /** Unsynchronized growable byte sink for the ENCODE hot path.
+    * `ByteArrayOutputStream.write` is a synchronized method — on JDK 17
+    * (biased locking removed) every one of the ~6 varint writes per
+    * occurrence pays a real monitor op inside the build's tightest loop.
+    * Bytes produced are identical to the stream form (CodecSpec). */
+  private[index] final class ByteBuf(initial: Int) {
+    private var a = new Array[Byte](math.max(16, initial))
+    private var n = 0
+    private def ensure(extra: Int): Unit =
+      if (n + extra > a.length)
+        a = java.util.Arrays.copyOf(a, math.max(a.length * 2, n + extra))
+    def writeVarint(value0: Long): Unit = {
+      require(value0 >= 0, s"varint requires non-negative, got $value0")
+      ensure(10) // a 63-bit varint is at most 9 bytes
+      var value = value0
+      while ((value & ~0x7fL) != 0) {
+        a(n) = ((value & 0x7f) | 0x80).toByte
+        n += 1
+        value >>>= 7
+      }
+      a(n) = value.toByte
+      n += 1
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+  }
+
   final class Reader(bytes: Array[Byte]) {
     private var pos = 0
     def hasNext: Boolean = pos < bytes.length
@@ -52,23 +78,26 @@ object Codec {
     * strictly increasing. firstDocId is the delta base.
     */
   def encodeBlock(firstDocId: Long, postings: Seq[Posting]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(postings.size * 6)
-    writeVarint(out, postings.size.toLong)
+    val out = new ByteBuf(postings.size * 6)
+    out.writeVarint(postings.size.toLong)
     var prev = firstDocId
     postings.foreach { p =>
       require(p.docId >= prev, s"postings not sorted: ${p.docId} after $prev")
-      writeVarint(out, p.docId - prev)
+      out.writeVarint(p.docId - prev)
       prev = p.docId
-      writeVarint(out, p.tf.toLong)
-      writeVarint(out, p.dl.toLong)
-      writeVarint(out, p.positions.length.toLong)
+      out.writeVarint(p.tf.toLong)
+      out.writeVarint(p.dl.toLong)
+      val ps = p.positions
+      out.writeVarint(ps.length.toLong)
       var prevPos = 0L
-      p.positions.foreach { q =>
-        writeVarint(out, q.toLong - prevPos)
-        prevPos = q.toLong
+      var i = 0
+      while (i < ps.length) {
+        out.writeVarint(ps(i).toLong - prevPos)
+        prevPos = ps(i).toLong
+        i += 1
       }
     }
-    out.toByteArray
+    out.toArray
   }
 
   def decodeBlock(firstDocId: Long, bytes: Array[Byte]): Array[Posting] = {

@@ -327,10 +327,15 @@ object Compaction {
         .repartition(col("docGroup")).sortWithinPartitions("docId"),
       layout.docs, Seq("docGroup", "segment"))
 
-    io.overwritePartitions(
-      mergedBlocks(spark, dir, segments, blockSize, io)
-        .toDF().withColumn("segment", lit(newSeg)),
-      layout.postings, Seq("docGroup", "segment"))
+    // merged segment keeps the table's nBytes discipline: write the column
+    // iff the surviving files carry it (mixed per-file schemas poison reads)
+    val merged0 = mergedBlocks(spark, dir, segments, blockSize, io)
+      .toDF().withColumn("segment", lit(newSeg))
+    val merged =
+      if (io.read(spark, layout.postings).columns.contains("nBytes"))
+        merged0.withColumn("nBytes", length(col("bytes")))
+      else merged0
+    io.overwritePartitions(merged, layout.postings, Seq("docGroup", "segment"))
   }
 
   /** The merge plan itself (also rendered in EXPLAIN.md §9): ONE shuffle of
@@ -360,15 +365,15 @@ object Compaction {
       .as[BlockRow]
       .mapPartitions { it =>
         val dels = delsBc.value
-        val occurrences = it.flatMap { b =>
+        // posting-grained re-encode: the decoded Posting already carries its
+        // ascending positions array, so feed it straight to the block
+        // builder instead of exploding to one tuple per occurrence
+        val postings = it.flatMap { b =>
           Codec.decodeBlock(b.firstDocId, b.bytes).iterator
             .filter(p => !dels.contains(b.docGroup, p.docId))
-            .flatMap { p =>
-              p.positions.iterator.map(pos =>
-                (b.field, b.term, b.docGroup, p.docId, p.dl, pos))
-            }
+            .map(p => (b.field, b.term, b.docGroup, p.docId, p.dl, p.positions))
         }
-        new BlockBuildIterator(occurrences, blockSize)
+        new PostingBlockIterator(postings, blockSize)
       }
   }
 
@@ -415,7 +420,8 @@ object Compaction {
         min($"shaOk").as("shaOk"))
       .join(
         segPostings.groupBy($"docGroup")
-          .agg(sum($"n").as("p_"), sum(length($"bytes")).as("b_"),
+          .agg(sum($"n").as("p_"),
+            sum(IndexBuilder.blockLen(segPostings)).as("b_"),
             countDistinct($"term").as("f_")),
         Seq("docGroup"), "left_outer")
       .join(carried, Seq("docGroup"), "left_outer")

@@ -78,6 +78,76 @@ final class BlockBuildIterator(
   }
 }
 
+/** Posting-grained sibling of [[BlockBuildIterator]]: consumes ONE row per
+  * (field, term, docGroup, docId) carrying the doc's ascending positions
+  * array — exactly the shape the build's packed shuffle rows and the
+  * compaction decode already produce — and emits byte-identical blocks.
+  * The occurrence-grained iterator forced callers to first EXPLODE each
+  * posting into one 6-tuple per position (~avg-tf× the posting count of
+  * short-lived allocations in the tightest build loop) and then re-gather
+  * the positions into a buffer; this one appends the posting directly and
+  * computes the block statistics in a single pass. Output equivalence with
+  * [[BlockBuildIterator]] is differential-tested (CodecSpec). */
+final class PostingBlockIterator(
+    rows: Iterator[(String, String, Long, Long, Int, Array[Int])],
+    blockSize: Int) extends Iterator[BlockRow] {
+
+  private val buf = rows.buffered
+  private val out = scala.collection.mutable.Queue[BlockRow]()
+
+  override def hasNext: Boolean = {
+    while (out.isEmpty && buf.hasNext) consumeKey()
+    out.nonEmpty
+  }
+  override def next(): BlockRow = {
+    if (!hasNext) throw new NoSuchElementException
+    out.dequeue()
+  }
+
+  /** Consume all rows of the next (field, term, docGroup) key, enqueueing
+    * its blocks. */
+  private def consumeKey(): Unit = {
+    val (f, t, g, _, _, _) = buf.head
+    val block = new scala.collection.mutable.ArrayBuffer[Posting](blockSize)
+    var blockIdx = 0
+
+    def flushBlock(): Unit = if (block.nonEmpty) {
+      val bytes = Codec.encodeBlock(block.head.docId, block.toSeq)
+      var sumTf = 0L
+      var maxTf = Int.MinValue
+      var minTf = Int.MaxValue
+      var minDl = Int.MaxValue
+      var maxDl = Int.MinValue
+      var i = 0
+      while (i < block.length) {
+        val p = block(i)
+        sumTf += p.tf
+        if (p.tf > maxTf) maxTf = p.tf
+        if (p.tf < minTf) minTf = p.tf
+        if (p.dl < minDl) minDl = p.dl
+        if (p.dl > maxDl) maxDl = p.dl
+        i += 1
+      }
+      out.enqueue(BlockRow(f, t, g, blockIdx, block.head.docId, block.last.docId,
+        block.size, sumTf, maxTf, minTf, minDl, maxDl, bytes))
+      blockIdx += 1
+      block.clear()
+    }
+
+    var continue = true
+    while (continue && buf.hasNext) {
+      val h = buf.head
+      if (h._1 != f || h._2 != t || h._3 != g) continue = false
+      else {
+        val (_, _, _, d, dl, ps) = buf.next()
+        block += Posting(d, ps.length, dl, ps)
+        if (block.size >= blockSize) flushBlock()
+      }
+    }
+    flushBlock()
+  }
+}
+
 /** Distributed inverted-index build (SURVEY.md §7.2, north_rule).
   *
   * Layout under `dir` (written through [[graft.io.TableIO]]; parquet in the
@@ -407,17 +477,33 @@ object IndexBuilder {
       .withColumn("shaOk",
         if (hasSrcSha) col("sha256_computed") === col("sha256") else lit(true))
     params.fields.foreach { f =>
-      docsDf = docsDf.withColumn(s"tokens_$f", Analyzer.tokensCol(col(f)))
-        .withColumn(s"dl_$f", size(col(s"tokens_$f")))
+      docsDf = docsDf.withColumn(s"dl_$f", size(Analyzer.tokensCol(col(f))))
     }
     docsDf = docsDf
       .withColumn("qualityScore", params.qualityScoreCol())
       .withColumn("repoScore", params.repoScoreCol())
 
-    // NOTE (measured, guide §1): persisting the tokenized batch here was
-    // tried and REVERTED — at c32 the whole generate+sha+tokenize pass is
-    // <1 s while materializing the token arrays through the columnar cache
-    // cost ~2-3 s, so recomputing per consumer is the cheaper plan.
+    // Staging (guide §1.2/§5): when the batch's plan contains an opaque
+    // object-serialization boundary (a typed map / generator input), column
+    // pruning cannot reach through it, so every consumer pass below — the
+    // audit aggregate, the docs write, the postings build — would re-run
+    // FULL row materialization (for the bench generator that includes a
+    // SHA-256 per row per pass). Stage the batch once: content + per-field
+    // dl + sha, NOT token arrays (measured in r4 and kept: materializing
+    // the token arrays through the columnar cache costs more than the two
+    // re-tokenizations it would save). The audit aggregate below is the
+    // action that fills the cache. File-backed inputs skip the persist
+    // entirely: their re-reads are column-pruned scans, and caching a
+    // 100 TB batch would double its I/O for nothing.
+    val opaqueInput = docsDf.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => s
+    }.isDefined
+    val staged =
+      if (opaqueInput)
+        docsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docsDf
+
+    try {
     val metaCols = Seq("docId", "repo", "path", "lang") ++
       params.fields.map(f => s"dl_$f") ++
       Seq("sha256_computed", "shaOk", "qualityScore", "repoScore", "docGroup")
@@ -432,7 +518,7 @@ object IndexBuilder {
     // documented-unsupported hash-id append edge. The distinct docGroup
     // count sizes the postings shuffle below.
     val nGroupsBatch = locally {
-      val d = docsDf
+      val d = staged
         .agg(count(lit(1)).as("n"), countDistinct($"docId").as("nd"),
           countDistinct($"docGroup").as("ng"))
         .collect()(0)
@@ -449,7 +535,7 @@ object IndexBuilder {
     // back-fills the cores the docs write frees (guide §2.6). Sequential
     // under a snapshot TableIO, whose manifest commits are simplest kept
     // single-writer-per-call.
-    val docsOut = docsDf.select(metaCols.map(col): _*)
+    val docsOut = staged.select(metaCols.map(col): _*)
       .withColumnRenamed("sha256_computed", "sha256")
       .withColumn("segment", lit(segment))
       .repartition(col("docGroup")).sortWithinPartitions("docId")
@@ -478,8 +564,8 @@ object IndexBuilder {
         ColumnBridge.expression(c)))
     }
     val perDocTerm = params.fields.map { f =>
-      docsDf.select($"docId", $"docGroup", col(s"dl_$f").as("dl"),
-          explode(tokenPostingsCol(col(s"tokens_$f"))).as("tp"))
+      staged.select($"docId", $"docGroup", col(s"dl_$f").as("dl"),
+          explode(tokenPostingsCol(Analyzer.tokensCol(col(f)))).as("tp"))
         .select(lit(f).as("field"), $"tp.term".as("term"), $"docGroup",
           $"docId", $"dl", $"tp.positions".as("positions"))
     }.reduce(_ unionByName _)
@@ -509,14 +595,20 @@ object IndexBuilder {
        else perDocTerm.repartition($"field", $"term", $"docGroup"))
       .sortWithinPartitions($"field", $"term", $"docGroup", $"docId")
       .as[(String, String, Long, Long, Int, Array[Int])]
-      .mapPartitions { it =>
-        val occurrences = it.flatMap { case (f, t, g, d, dl, ps) =>
-          ps.iterator.map(p => (f, t, g, d, dl, p))
-        }
-        new BlockBuildIterator(occurrences, blockSize)
-      }
+      .mapPartitions(it => new PostingBlockIterator(it, blockSize))
 
-    val blocksOut = blocks.toDF().withColumn("segment", lit(segment))
+    // nBytes rides every block row so the post-write aggregates (lineage,
+    // dictionary/metrics derivation) stay METADATA-only scans — without it
+    // each `sum(length(bytes))` re-reads the whole compressed index (the
+    // `bytes` column is ~95% of the table's bytes) right after writing it.
+    // Appends to a pre-nBytes index skip the column (mixed per-file schemas
+    // poison parquet reads); aggregates fall back to length(bytes) there.
+    val writeNBytes = !(resume && io.exists(spark, layout.postings)) ||
+      io.read(spark, layout.postings).columns.contains("nBytes")
+    val blocksOut0 = blocks.toDF().withColumn("segment", lit(segment))
+    val blocksOut =
+      if (writeNBytes) blocksOut0.withColumn("nBytes", length($"bytes"))
+      else blocksOut0
     io.overwritePartitions(
       if (fused) blocksOut
       else blocksOut.repartition(col("docGroup"))
@@ -553,7 +645,7 @@ object IndexBuilder {
         min($"shaOk").as("shaOk"))
       .join(
         segPostings.groupBy($"docGroup")
-          .agg(sum($"n").as("p_"), sum(length($"bytes")).as("b_"),
+          .agg(sum($"n").as("p_"), sum(blockLen(allBlocks)).as("b_"),
             countDistinct($"term").as("f_")),
         Seq("docGroup"), "left_outer")
       .withColumn("postingsEmitted", coalesce($"p_", lit(0L)))
@@ -578,7 +670,18 @@ object IndexBuilder {
       val out = fs.create(v2, true)
       try out.write("v2\n".getBytes("UTF-8")) finally out.close()
     }
+    } finally if (opaqueInput) { staged.unpersist(false); () }
   }
+
+  /** Compressed payload length of a block row: the stored `nBytes` column
+    * when the table carries it (metadata-only — the scan never touches the
+    * `bytes` column), else `length(bytes)`; `coalesce` covers mixed tables
+    * where only some files carry the column (appends to a pre-nBytes
+    * index). */
+  private[index] def blockLen(blocks: DataFrame): Column =
+    if (blocks.columns.contains("nBytes"))
+      coalesce(col("nBytes"), length(col("bytes")))
+    else length(col("bytes"))
 
   /** Re-derive dictionary, stats and metrics from the CURRENT docs/postings
     * tables (fields inferred from the docs schema's dl_ columns) — the
@@ -662,33 +765,54 @@ object IndexBuilder {
       .agg(sum($"n").as("df"), sum($"sumTf").as("totalTf"),
         count(lit(1)).as("nBlocks"), max($"maxTf").as("maxTf"),
         min($"minDl").as("minDl"),
-        countDistinct($"docGroup").as("g"), sum(length($"bytes")).as("bc"),
+        countDistinct($"docGroup").as("g"), sum(blockLen(allBlocks)).as("bc"),
         sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // provision at PHYSICAL-PARTITION grain: rows land in (tlen, termBucket)
     // PAIRS, so a global-vocab/target bucket count would leave every pair
     // holding ~target/#tlen-bands rows — #bands× more, smaller files (and
-    // manifest lines) than provisioned. One job yields vocab AND bands.
-    val prov = dictAgg.agg(count(lit(1)).as("v"),
-      countDistinct(length($"term")).as("b")).collect()(0)
-    val vocab = prov.getLong(0)
-    val bands = math.max(1L, prov.getLong(1))
+    // manifest lines) than provisioned. ONE rollup job yields the global
+    // provisioning inputs (vocab, bands) AND the per-field metrics rollup —
+    // these were two separate driver aggregates over the same persisted
+    // result (guide §1.2: fewer passes before config tweaks).
+    val rolled = dictAgg.rollup($"field")
+      .agg(grouping($"field").cast("int").as("gid"), count(lit(1)).as("v"),
+        countDistinct(length($"term")).as("b"),
+        max($"g").as("maxFan"), avg($"g").as("avgFan"),
+        sum($"df").as("postings"), sum($"nBlocks").as("blocks"),
+        sum($"bc").as("bytes"), sum($"raw").as("raw"))
+      .collect()
+    val globalRow = rolled.find(_.getAs[Int]("gid") == 1)
+    val vocab = globalRow.map(_.getAs[Long]("v")).getOrElse(0L)
+    val bands = math.max(1L, globalRow.map(_.getAs[Long]("b")).getOrElse(0L))
+    val perField = rolled.filter(_.getAs[Int]("gid") == 0)
+      .map(r => r.getString(0) -> r).toMap
     val nBuckets = math.max(1L,
       (vocab + bands * target - 1) / (bands * target)).toInt
     // meta DROPPED first, re-written last: any crash window leaves it
     // absent, which consumers treat as "no bucket layout" (always safe —
     // see Layout.dictionaryMeta)
     io.drop(spark, layout.dictionaryMeta)
-    io.overwriteTable(
+    // the dictionary overwrite is the expensive derived write; under plain
+    // parquet it runs on a side thread while the tiny independent tables
+    // (stats, derived-segments manifest, metrics) commit — the meta marker
+    // still waits for it below, preserving the crash-window ordering.
+    // Sequential under a snapshot TableIO (single-writer manifest commits).
+    def writeDictionary(): Unit = io.overwriteTable(
       dictAgg
         .select($"field", $"term", $"df", $"totalTf", $"nBlocks", $"maxTf", $"minDl")
         .withColumn("tlen", length($"term"))
         .withColumn("termBucket", termBucketCol(nBuckets))
         .repartition($"tlen", $"termBucket").sortWithinPartitions("field", "term"),
       layout.dictionary, Seq("tlen", "termBucket"))
-    io.overwritePartitions(
-      Seq((nBuckets, target)).toDF("nBuckets", "targetRows").coalesce(1),
-      layout.dictionaryMeta, Nil)
+    val dictFut: Option[java.util.concurrent.Future[_]] =
+      if (io eq ParquetTableIO) {
+        val t = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try Some(t.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = writeDictionary()
+        }))
+        finally t.shutdown()
+      } else { writeDictionary(); None }
 
     io.overwritePartitions(
       fields.map { f =>
@@ -707,15 +831,9 @@ object IndexBuilder {
         .withColumn("bakedAt", current_timestamp()),
       layout.derivedSegments, Seq("inputSnapshot"))
 
-    // metrics: roll up from the persisted dictionary-grain aggregate (raw-
+    // metrics: rolled up from the same rollup job as the provisioning (raw-
     // size estimate derived exactly from block metadata: every occurrence
     // is one position, so raw = 16B/posting + 4B/occurrence = 16*n+4*sumTf)
-    val perField = dictAgg
-      .groupBy($"field").agg(max($"g").as("maxFan"), avg($"g").as("avgFan"),
-        sum($"df").as("postings"), sum($"nBlocks").as("blocks"), sum($"bc").as("bytes"),
-        sum($"raw").as("raw"))
-      .collect().map(r => r.getString(0) -> r).toMap
-    dictAgg.unpersist()
     val rows = fields.map { f =>
       val r = perField.get(f)
       (f, nDocs,
@@ -734,6 +852,14 @@ object IndexBuilder {
         "bytesRawEstimate", "maxMergeFanIn", "avgMergeFanIn", "shaViolations",
         "docIdCollisions").coalesce(1),
       layout.metrics, Nil)
+    // surface dictionary-write failures BEFORE the meta marker goes back:
+    // a failed dictionary with a fresh marker would claim a bucket layout
+    // that is not on disk (meta absent = safe fallback everywhere)
+    dictFut.foreach(_.get())
+    dictAgg.unpersist()
+    io.overwritePartitions(
+      Seq((nBuckets, target)).toDF("nBuckets", "targetRows").coalesce(1),
+      layout.dictionaryMeta, Nil)
   }
 
   /** Incremental derived maintenance for a pure APPEND of `segment` (the
@@ -824,17 +950,26 @@ object IndexBuilder {
         min($"minDl").as("minDl2"),
         // metrics contributions ride the same scan (bc2/raw2 roll up below
         // instead of a second segment aggregation)
-        sum(length($"bytes")).as("bc2"),
+        sum(blockLen(segBlocks)).as("bc2"),
         sum(lit(16L) * $"n" + lit(4L) * $"sumTf").as("raw2"))
       .withColumn("tlen", length($"term"))
       .withColumn("termBucket", termBucketCol(nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segMet = try {
-    // the touched (tlen, termBucket) pairs: bounded by BOTH the batch's
-    // distinct-term count and (max term length × nBuckets) — a driver list
-    // by construction, same shape as KeyMap's touched-bucket collect
-    val touched = segDict.select($"tlen", $"termBucket").distinct()
-      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    // ONE rollup job yields the touched (tlen, termBucket) pairs AND the
+    // per-field metrics contributions (previously two driver actions over
+    // the same persisted aggregate). Rows collected stay bounded by the
+    // batch's distinct (field, tlen, termBucket) triples + rollup levels —
+    // a driver list by construction, same shape as KeyMap's touched-bucket
+    // collect. grouping_id bits for rollup(field, tlen, termBucket):
+    // 0 = detail triples (the touched pairs, deduped across fields),
+    // 3 = field present / pair rolled up (the per-field metric sums).
+    val segRolled = segDict.rollup($"field", $"tlen", $"termBucket")
+      .agg(grouping_id().cast("long").as("gid"), sum($"df2").as("p"),
+        sum($"nBlocks2").as("bl"), sum($"bc2").as("bc"), sum($"raw2").as("raw"))
+      .collect()
+    val touched = segRolled.filter(_.getAs[Long]("gid") == 0L)
+      .map(r => r.getAs[Int]("tlen") -> r.getAs[Int]("termBucket")).distinct
     if (touched.isEmpty) {
       // a zero-posting segment contributes nothing to the dictionary
     } else {
@@ -865,12 +1000,10 @@ object IndexBuilder {
       io.overwritePartitions(merged, layout.dictionary, Seq("tlen", "termBucket"))
     }
 
-    // segment metrics contributions, rolled up from the SAME persisted
-    // aggregate (was a third scan of the segment's block metadata)
-    segDict.groupBy($"field")
-      .agg(sum($"df2").as("p"), sum($"nBlocks2").as("bl"),
-        sum($"bc2").as("bc"), sum($"raw2").as("raw"))
-      .collect().map(r => r.getString(0) -> r).toMap
+    // segment metrics contributions: the field-level rows of the same
+    // rollup (gid = 3: field present, tlen/termBucket rolled up)
+    segRolled.filter(_.getAs[Long]("gid") == 3L)
+      .map(r => r.getString(0) -> r).toMap
     } finally segDict.unpersist(false)
 
     // ---- stats: tiny (one row per field) — merge on the driver ----

@@ -210,18 +210,29 @@ object QueryEngine {
     val m = opts.k * opts.overfetch
     // top-m by (score desc, docId asc): TakeOrderedAndProject — no full sort
     val top = cand.orderBy($"score".desc, $"docId".asc).limit(m)
+      .as[(Long, Double)].collect()
 
-    // broadcast the tiny top-m side into the big docs table (R10 shape),
-    // then pull the <= m survivors to the driver: the composite sort,
-    // diversity pass, and rank assignment are O(m) driver work — doing them
-    // here makes a whole search a single Spark action instead of a chain of
-    // window-exchange jobs.
-    val joined = index.docs
-      .join(broadcast(top), Seq("docId"))
-      .select($"docId", $"score", $"repo", $"path", $"lang",
-        $"qualityScore", $"repoScore")
-      .as[(Long, Double, String, String, String, Double, Double)]
-      .collect()
+    // R10 metadata attachment for the ≤ m page ids, as a PRUNED probe:
+    // `docId IN (page ids)` reaches the scan — parquet row-group stats on
+    // the docId-sorted docs files cold, cached-batch min/max pruning on a
+    // warmed index — so the probe reads a few batches. The previous
+    // broadcast-join form scanned the ENTIRE docs table per query to join
+    // ≤ m rows (guide §2.4: the join's only role was metadata attachment;
+    // its big-side scan was the per-query floor). The composite sort,
+    // diversity pass and rank assignment stay O(m) driver work.
+    val joined: Array[(Long, Double, String, String, String, Double, Double)] =
+      if (top.isEmpty) Array.empty
+      else {
+        val scores = top.toMap
+        index.docs
+          .filter($"docId".isin(top.map(_._1): _*))
+          .select($"docId", $"repo", $"path", $"lang",
+            $"qualityScore", $"repoScore")
+          .as[(Long, String, String, String, Double, Double)]
+          .collect()
+          .map { case (d, repo, path, lang, q, rs) =>
+            (d, scores(d), repo, path, lang, q, rs) }
+      }
 
     // R8 composite sort
     val composite = joined.sortBy { case (docId, score, _, _, _, q, rs) =>

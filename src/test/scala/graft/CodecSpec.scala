@@ -82,4 +82,47 @@ class CodecSpec extends AnyFunSuite {
     val bytes = Codec.encodeBlock(0L, Seq.empty)
     assert(Codec.decodeBlock(0L, bytes).isEmpty)
   }
+
+  test("PostingBlockIterator == BlockBuildIterator (bytes and metadata, " +
+      "100 random multi-key streams)") {
+    import graft.index.{BlockBuildIterator, PostingBlockIterator}
+    val rnd = new Random(424242)
+    (1 to 100).foreach { _ =>
+      // a sorted (field, term, docGroup, docId) stream with random run sizes
+      val rows = for {
+        f <- Seq("content", "path").take(1 + rnd.nextInt(2))
+        t <- (0 until 1 + rnd.nextInt(4)).map(i => s"t$i")
+        g <- 0L until (1 + rnd.nextInt(3)).toLong
+        p <- {
+          var doc = g * 100000L
+          List.fill(rnd.nextInt(300)) {
+            doc += 1 + rnd.nextInt(50)
+            // tf == positions.length >= 1, the invariant both real
+            // producers guarantee (TokenPostings packs >=1 position per
+            // entry; a decoded Posting stores tf = its position count)
+            val pc = 1 + rnd.nextInt(5)
+            var pos = rnd.nextInt(10)
+            val positions = Array.fill(pc) { pos += 1 + rnd.nextInt(5); pos }
+            Posting(doc, pc, 1 + rnd.nextInt(500), positions)
+          }
+        }
+      } yield (f, t, g, p)
+      val blockSize = 1 + rnd.nextInt(40)
+      val viaPostings = new PostingBlockIterator(
+        rows.iterator.map { case (f, t, g, p) => (f, t, g, p.docId, p.dl, p.positions) },
+        blockSize).toList
+      val viaOccurrences = new BlockBuildIterator(
+        rows.iterator.flatMap { case (f, t, g, p) =>
+          p.positions.iterator.map(pos => (f, t, g, p.docId, p.dl, pos))
+        }, blockSize).toList
+      assert(viaPostings.size == viaOccurrences.size)
+      viaPostings.zip(viaOccurrences).foreach { case (a, b) =>
+        assert((a.field, a.term, a.docGroup, a.blockIdx, a.firstDocId,
+          a.lastDocId, a.n, a.sumTf, a.maxTf, a.minTf, a.minDl, a.maxDl) ==
+          (b.field, b.term, b.docGroup, b.blockIdx, b.firstDocId,
+            b.lastDocId, b.n, b.sumTf, b.maxTf, b.minTf, b.minDl, b.maxDl))
+        assert(a.bytes.sameElements(b.bytes))
+      }
+    }
+  }
 }

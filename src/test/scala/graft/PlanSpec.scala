@@ -8,8 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the things that keep the engine fast at scale
   * must be visible in the plan, not assumed — predicate pushdown into the
-  * postings/dictionary parquet scans, broadcast doc join, and
-  * TakeOrderedAndProject for global top-k (no full sort). */
+  * postings/dictionary/docs parquet scans, the pruned doc-metadata page
+  * probe, and TakeOrderedAndProject for global top-k (no full sort). */
 class PlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -36,14 +36,17 @@ class PlanSpec extends AnyFunSuite {
       s"term filter not pushed:\n${plan.take(3000)}")
   }
 
-  test("doc join broadcasts the top-k side (R10 shape)") {
+  test("doc-metadata page probe pushes docId IN (...) into the scan (R10)") {
     import org.apache.spark.sql.functions._
-    val cand = QueryEngine.candidates(index, "python tutorial", SearchOpts())
-    val top = cand.orderBy(col("score").desc, col("docId").asc).limit(30)
-    val joined = index.docs.join(broadcast(top), Seq("docId"))
-    val plan = planOf(joined)
-    assert(plan.contains("BroadcastHashJoin"),
-      s"doc join is not broadcast:\n${plan.take(3000)}")
+    // the shape search() issues after collecting the top-m page: a pruned
+    // membership probe, never a join against a full docs-table scan
+    val probe = index.docs
+      .filter(col("docId").isin(3L, 77L, 201L))
+      .select(col("docId"), col("repo"), col("path"), col("lang"),
+        col("qualityScore"), col("repoScore"))
+    val plan = planOf(probe)
+    assert(plan.contains("PushedFilters:") && plan.contains("In(docId"),
+      s"docId membership not pushed to the docs scan:\n${plan.take(3000)}")
   }
 
   test("global top-m uses TakeOrderedAndProject (no full sort)") {
