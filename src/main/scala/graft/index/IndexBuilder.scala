@@ -674,13 +674,15 @@ object IndexBuilder {
   }
 
   /** Compressed payload length of a block row: the stored `nBytes` column
-    * when the table carries it (metadata-only — the scan never touches the
-    * `bytes` column), else `length(bytes)`; `coalesce` covers mixed tables
-    * where only some files carry the column (appends to a pre-nBytes
-    * index). */
-  private[index] def blockLen(blocks: DataFrame): Column =
-    if (blocks.columns.contains("nBytes"))
-      coalesce(col("nBytes"), length(col("bytes")))
+    * when the table carries it, else `length(bytes)`. The stored column is
+    * used ALONE — a `coalesce(nBytes, length(bytes))` fallback was measured
+    * to defeat the whole point (the scan must still read the `bytes` column
+    * to evaluate the fallback arm; see plans/r06). Safe because the writers
+    * keep tables unmixed by construction: a fresh build always writes
+    * nBytes, and every append/compaction writes it iff the existing files
+    * carry it (buildGroups / Compaction.writeCompactedSegment). */
+  private[graft] def blockLen(blocks: DataFrame): Column =
+    if (blocks.columns.contains("nBytes")) col("nBytes")
     else length(col("bytes"))
 
   /** Re-derive dictionary, stats and metrics from the CURRENT docs/postings

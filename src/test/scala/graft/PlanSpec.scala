@@ -49,6 +49,22 @@ class PlanSpec extends AnyFunSuite {
       s"docId membership not pushed to the docs scan:\n${plan.take(3000)}")
   }
 
+  test("block-metadata aggregates never read the compressed bytes column") {
+    import org.apache.spark.sql.functions._
+    // the derived-refresh / lineage aggregates sum blockLen — with the
+    // stored nBytes column that scan must be METADATA-only: `bytes` (the
+    // ~95%-of-table payload column) must not appear in the scan schema
+    val postings = index.postings
+    assert(postings.columns.contains("nBytes"), "fresh build must write nBytes")
+    val agg = postings.groupBy(col("field"), col("term"))
+      .agg(sum(col("n")).as("df"),
+        sum(graft.index.IndexBuilder.blockLen(postings)).as("bc"))
+    val scans = planOf(agg).linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("bytes:binary"),
+      s"aggregate still reads the compressed payload column:\n$scans")
+  }
+
   test("global top-m uses TakeOrderedAndProject (no full sort)") {
     import org.apache.spark.sql.functions._
     val cand = QueryEngine.candidates(index, "python tutorial", SearchOpts())
