@@ -602,17 +602,26 @@ object IndexBuilder {
     // `bytes` column is ~95% of the table's bytes) right after writing it.
     // Appends to a pre-nBytes index skip the column (mixed per-file schemas
     // poison parquet reads); aggregates fall back to length(bytes) there.
-    val writeNBytes = !(resume && io.exists(spark, layout.postings)) ||
-      io.read(spark, layout.postings).columns.contains("nBytes")
-    val blocksOut0 = blocks.toDF().withColumn("segment", lit(segment))
-    val blocksOut =
-      if (writeNBytes) blocksOut0.withColumn("nBytes", length($"bytes"))
-      else blocksOut0
-    io.overwritePartitions(
-      if (fused) blocksOut
-      else blocksOut.repartition(col("docGroup"))
-        .sortWithinPartitions("field", "term", "firstDocId", "blockIdx"),
-      layout.postings, Seq("docGroup", "segment"))
+    // a postings-side failure must still AWAIT the side-thread docs write
+    // before propagating — an abandoned in-flight write racing an
+    // in-process retry would be a same-holder writer overlap the lock
+    // cannot see
+    try {
+      val writeNBytes = !(resume && io.exists(spark, layout.postings)) ||
+        io.read(spark, layout.postings).columns.contains("nBytes")
+      val blocksOut0 = blocks.toDF().withColumn("segment", lit(segment))
+      val blocksOut =
+        if (writeNBytes) blocksOut0.withColumn("nBytes", length($"bytes"))
+        else blocksOut0
+      io.overwritePartitions(
+        if (fused) blocksOut
+        else blocksOut.repartition(col("docGroup"))
+          .sortWithinPartitions("field", "term", "firstDocId", "blockIdx"),
+        layout.postings, Seq("docGroup", "segment"))
+    } catch { case t: Throwable =>
+      docsFut.foreach(f => try f.get() catch { case _: Throwable => () })
+      throw t
+    }
     docsFut.foreach(_.get()) // surface docs-write failures before commit
 
     // ---- dictionary/stats/metrics: dense-id resumes merge the previous
@@ -814,6 +823,11 @@ object IndexBuilder {
         finally t.shutdown()
       } else { writeDictionary(); None }
 
+    // a failure in the small writes must still AWAIT the side-thread
+    // dictionary write before propagating: an abandoned in-flight write
+    // racing an in-process retry's own dictionary overwrite would be a
+    // writer-writer overlap the lock cannot see (same holder)
+    try {
     io.overwritePartitions(
       fields.map { f =>
         val sumDl = Option(docAgg.getAs[java.lang.Long](s"sumdl_$f"))
@@ -852,6 +866,10 @@ object IndexBuilder {
         "bytesRawEstimate", "maxMergeFanIn", "avgMergeFanIn", "shaViolations",
         "docIdCollisions").coalesce(1),
       layout.metrics, Nil)
+    } catch { case t: Throwable =>
+      dictFut.foreach(f => try f.get() catch { case _: Throwable => () })
+      throw t
+    }
     // surface dictionary-write failures BEFORE the meta marker goes back:
     // a failed dictionary with a fresh marker would claim a bucket layout
     // that is not on disk (meta absent = safe fallback everywhere)
